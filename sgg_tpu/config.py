@@ -1,0 +1,243 @@
+"""Typed configuration for the TPU-native SGG framework.
+
+Flag-parity rebuild of the reference ``ModelConfig``
+(``/root/reference/config.py:43-240``): every reference CLI flag exists here
+with the same name, default, and validation rules. Differences are deliberate
+and TPU-specific:
+
+* the config is an immutable ``dataclass`` usable programmatically (the
+  reference merges argparse results into ``self.__dict__``);
+* TPU shape buckets (``max_nodes``/``max_edges``), mixed-precision and mesh
+  flags are new — they control the padded fixed-shape compilation model;
+* ``num_gpus`` becomes ``num_devices`` (the reference asserts exactly one GPU,
+  ``config.py:71``; we default to all visible devices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import platform
+import subprocess
+from argparse import ArgumentParser
+from typing import Optional, Sequence
+
+from sgg_tpu import constants
+
+
+@dataclasses.dataclass
+class Config:
+    # Data (reference config.py:152-153)
+    data: str = "./data"
+    split: str = "stanford"  # {stanford, vte, gqa}
+
+    # Checkpointing / output (reference config.py:155-158)
+    ckpt: str = ""
+    save_dir: Optional[str] = None
+    notest: bool = False
+    save_scores: bool = False
+
+    # Execution (reference config.py:161-164)
+    num_devices: int = 0  # 0 = all visible devices (reference: num_gpus == 1)
+    num_workers: int = 2
+    seed: int = 111
+    device: str = "tpu"  # {tpu, cpu}; cpu is useful for debugging
+
+    # Main learning args (reference config.py:168-181)
+    lr: float = 1e-3
+    lr_decay: float = 0.1
+    steps: Sequence[int] = (15,)
+    num_epochs: int = 20
+    batch_size: int = 6
+    val_size: int = 5000
+    l2: float = 1e-4
+    clip: float = 5.0
+    mode: str = "sgcls"  # {sgdet, sgcls, predcls}
+    use_bias: bool = False
+    test_bias: bool = False
+    edge_model: str = "motifs"  # {motifs, raw_boxes}
+    pred_weight: float = 0.0
+
+    # SGG losses (reference config.py:184-192)
+    loss: str = "baseline"  # {baseline, dnorm, dnorm-fgbg}
+    gamma: float = 1.0
+    alpha: float = 1.0
+    beta: float = 1.0
+    rels_per_img: int = 1024
+
+    # Object detector (reference config.py:195-196)
+    backbone: str = "vgg16"  # {vgg16, resnet50}
+
+    # Dataset filters (reference config.py:199-203)
+    min_graph_size: int = -1
+    max_graph_size: int = -1
+    exclude_left_right: bool = False
+
+    # Logging (reference config.py:206-212)
+    print_interval: int = 100
+    wandb: Optional[str] = None
+    wandb_dir: str = "./"
+    name: Optional[str] = None
+    debug: bool = False
+
+    # GAN args (reference config.py:215-226)
+    gan: bool = False
+    ganlosses: Sequence[str] = ("D", "G", "rec")
+    lrG: float = 1e-4
+    lrD: float = 4e-4
+    ganw: float = 5.0
+    vis_cond: Optional[str] = None
+    attachG: bool = False
+    init_embed: bool = False
+    largeD: bool = False
+    beta1: float = 0.0
+    beta2: float = 0.9
+
+    # Perturbation args (reference config.py:229-239)
+    perturb: Optional[str] = None  # {rand, neigh, graphn}
+    L: float = 0.2
+    topk: int = 5
+    graphn_a: int = 2
+    uniform: bool = False
+    degree_smoothing: float = 1.0
+
+    # --- TPU-specific (no reference analogue) ---
+    # Padded shape buckets for the fixed-shape compilation model.
+    max_nodes: int = constants.MAX_NODES
+    max_edges: int = constants.MAX_EDGES
+    # Compute dtype for the backbone / heads ("bfloat16" or "float32").
+    compute_dtype: str = "bfloat16"
+    # Data-parallel mesh axis name.
+    dp_axis: str = "data"
+
+    # Reproducibility metadata (reference config.py:52-60), filled by
+    # __post_init__.
+    gitcommit: str = dataclasses.field(default="", repr=False)
+    hostname: str = dataclasses.field(default="", repr=False)
+
+    def __post_init__(self):
+        if isinstance(self.steps, str):
+            # Reference encodes decay epochs as "15_18" (config.py:69,170).
+            object.__setattr__(self, "steps", tuple(int(s) for s in self.steps.split("_")))
+        if isinstance(self.ganlosses, str):
+            object.__setattr__(self, "ganlosses", tuple(self.ganlosses.split("_")))
+        self.validate()
+        if not self.hostname:
+            object.__setattr__(self, "hostname", platform.node())
+        if not self.gitcommit:
+            try:
+                commit = subprocess.check_output(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    stderr=subprocess.DEVNULL,
+                ).decode("ascii").strip()
+            except Exception:
+                commit = "unknown"
+            object.__setattr__(self, "gitcommit", commit)
+
+    def validate(self):
+        """Reference flag-combination validation (config.py:70-94)."""
+        assert self.val_size >= 0, self.val_size
+        assert self.mode in constants.MODES, self.mode
+        assert self.split in ("stanford", "vte", "gqa"), self.split
+        assert self.loss in ("baseline", "dnorm", "dnorm-fgbg"), self.loss
+        assert self.backbone in ("vgg16", "resnet50"), self.backbone
+        assert self.edge_model in ("motifs", "raw_boxes"), self.edge_model
+        if self.split == "gqa":
+            assert self.rels_per_img == 1024, "1024 rels should be used for GQA"
+        if self.split != "stanford":
+            assert self.backbone == "resnet50", (
+                "Do not use a VG-pretrained detector on other splits since the "
+                "train set might overlap with the test set")
+        if self.test_bias:
+            assert self.use_bias, "use_bias must be specified in this case"
+        if self.perturb is not None:
+            assert self.perturb in ("rand", "neigh", "graphn"), self.perturb
+            assert self.gan, ("GAN must be used in case of perturbations", self.gan)
+            assert 0 < self.L <= 1, ("perturbation intensity must be > 0 and <= 1", self.L)
+        if self.gan:
+            assert len(self.ganlosses) > 0, (
+                "at least one GAN loss must be specified to train GAN", self.ganlosses)
+        assert self.max_nodes >= 2 and self.max_edges >= 1
+
+    @property
+    def num_mp_edges(self) -> int:
+        """Edge capacity of a padded batch element."""
+        return self.max_edges
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def setup_parser() -> ArgumentParser:
+    """CLI with the same flag names as the reference (config.py:145-240)."""
+    p = ArgumentParser(description="TPU-native SGG training")
+    p.add_argument("-data", dest="data", type=str, default="./data")
+    p.add_argument("-split", dest="split", type=str, default="stanford",
+                   choices=["stanford", "vte", "gqa"])
+    p.add_argument("-ckpt", dest="ckpt", type=str, default="")
+    p.add_argument("-save_dir", dest="save_dir", type=str, default=None)
+    p.add_argument("-notest", dest="notest", action="store_true")
+    p.add_argument("-save_scores", dest="save_scores", action="store_true")
+    p.add_argument("-ndev", "-ngpu", dest="num_devices", type=int, default=0)
+    p.add_argument("-nwork", dest="num_workers", type=int, default=2)
+    p.add_argument("-seed", dest="seed", type=int, default=111)
+    p.add_argument("-device", dest="device", type=str, default="tpu")
+    p.add_argument("-lr", dest="lr", type=float, default=1e-3)
+    p.add_argument("-lr_decay", dest="lr_decay", type=float, default=0.1)
+    p.add_argument("-steps", dest="steps", type=str, default="15")
+    p.add_argument("-nepoch", dest="num_epochs", type=int, default=20)
+    p.add_argument("-b", dest="batch_size", type=int, default=6)
+    p.add_argument("-val_size", dest="val_size", type=int, default=5000)
+    p.add_argument("-l2", dest="l2", type=float, default=1e-4)
+    p.add_argument("-clip", dest="clip", type=float, default=5.0)
+    p.add_argument("-m", dest="mode", type=str, default="sgcls",
+                   choices=["sgdet", "sgcls", "predcls"])
+    p.add_argument("-use_bias", dest="use_bias", action="store_true")
+    p.add_argument("-test_bias", dest="test_bias", action="store_true")
+    p.add_argument("-edge_model", dest="edge_model", type=str, default="motifs",
+                   choices=["motifs", "raw_boxes"])
+    p.add_argument("-pred_weight", dest="pred_weight", type=float, default=0)
+    p.add_argument("-loss", dest="loss", type=str, default="baseline",
+                   choices=["baseline", "dnorm", "dnorm-fgbg"])
+    p.add_argument("-gamma", dest="gamma", type=float, default=1.0)
+    p.add_argument("-alpha", dest="alpha", type=float, default=1.0)
+    p.add_argument("-beta", dest="beta", type=float, default=1.0)
+    p.add_argument("-rels_per_img", dest="rels_per_img", type=int, default=1024)
+    p.add_argument("-backbone", dest="backbone", type=str, default="vgg16",
+                   choices=["vgg16", "resnet50"])
+    p.add_argument("-min_graph_size", dest="min_graph_size", type=int, default=-1)
+    p.add_argument("-max_graph_size", dest="max_graph_size", type=int, default=-1)
+    p.add_argument("-exclude_left_right", dest="exclude_left_right", action="store_true")
+    p.add_argument("-p", dest="print_interval", type=int, default=100)
+    p.add_argument("-wandb", dest="wandb", type=str, default=None)
+    p.add_argument("-wandb_dir", dest="wandb_dir", type=str, default="./")
+    p.add_argument("-name", dest="name", type=str, default=None)
+    p.add_argument("-debug", dest="debug", action="store_true")
+    p.add_argument("-gan", dest="gan", action="store_true")
+    p.add_argument("-ganlosses", dest="ganlosses", type=str, default="D_G_rec")
+    p.add_argument("-lrG", dest="lrG", type=float, default=1e-4)
+    p.add_argument("-lrD", dest="lrD", type=float, default=4e-4)
+    p.add_argument("-ganw", dest="ganw", type=float, default=5.0)
+    p.add_argument("-vis_cond", dest="vis_cond", type=str, default=None)
+    p.add_argument("-attachG", dest="attachG", action="store_true")
+    p.add_argument("-init_embed", dest="init_embed", action="store_true")
+    p.add_argument("-largeD", dest="largeD", action="store_true")
+    p.add_argument("-beta1", dest="beta1", type=float, default=0)
+    p.add_argument("-beta2", dest="beta2", type=float, default=0.9)
+    p.add_argument("-perturb", dest="perturb", type=str, default=None,
+                   choices=["rand", "neigh", "graphn"])
+    p.add_argument("-L", dest="L", type=float, default=0.2)
+    p.add_argument("-topk", dest="topk", type=int, default=5)
+    p.add_argument("-graphn_a", dest="graphn_a", type=int, default=2)
+    p.add_argument("-uniform", dest="uniform", action="store_true")
+    p.add_argument("-degree_smoothing", dest="degree_smoothing", type=float, default=1.0)
+    # TPU-specific flags
+    p.add_argument("-max_nodes", dest="max_nodes", type=int, default=constants.MAX_NODES)
+    p.add_argument("-max_edges", dest="max_edges", type=int, default=constants.MAX_EDGES)
+    p.add_argument("-dtype", dest="compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
+    args = vars(setup_parser().parse_args(argv))
+    return Config(**args)

@@ -1,0 +1,124 @@
+"""RoIAlign as separable interpolation matmuls (TPU/MXU-native).
+
+Replaces torchvision's C++/CUDA ``roi_align`` / ``MultiScaleRoIAlign`` used by
+the reference (``/root/reference/sgg_models/rel_model_base.py:97-99,256-260``,
+``/root/reference/lib/get_union_boxes.py:176-179``) with semantics matching
+``torchvision.ops.roi_align(aligned=False, sampling_ratio=r)``.
+
+Design: bilinear sampling on the regular RoIAlign grid is *separable* — each
+pooled cell is an average of ``ratio × ratio`` bilinear samples, and both the
+sampling and the averaging are linear in the feature map rows/columns. So the
+whole op per ROI is two small dense matmuls::
+
+    out[p, q, c] = Wy[p, :] @ fmap[:, :, c] @ Wx[q, :]^T
+
+with ``Wy: (P, H)``, ``Wx: (P, W)`` interpolation-weight matrices (≤ 2·ratio
+nonzeros per row). Batched over per-image ROI blocks this becomes two einsums
+that XLA maps straight onto the MXU — no scalar gathers, no dynamic shapes.
+ROIs are processed in fixed-size chunks to bound the intermediate
+``(chunk, P, W, C)`` buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _interp_weights(start: jnp.ndarray, extent: jnp.ndarray, dim: int,
+                    pooled: int, ratio: int) -> jnp.ndarray:
+    """Per-ROI combined (bilinear-sample + bin-average) weight matrix.
+
+    Args:
+      start: (...,) ROI start coordinate in feature-map pixels.
+      extent: (...,) ROI extent (already floored at 1.0 by the caller).
+      dim: feature-map size along this axis (H or W).
+      pooled: output bins P.
+      ratio: sampling points per bin per axis.
+
+    Returns:
+      (..., P, dim) float32 such that ``out = W @ fmap_axis`` equals
+      torchvision ``roi_align(aligned=False)`` along this axis.
+    """
+    S = pooled * ratio
+    # Sample i sits at start + extent * (i + 0.5) / S  (uniform subdivision of
+    # each bin into `ratio` samples — algebraically identical to torchvision's
+    # per-bin formulation).
+    i = lax.broadcasted_iota(jnp.float32, (S, 1), 0).squeeze(-1)
+    y = start[..., None] + extent[..., None] * (i + 0.5) / S  # (..., S)
+
+    # torchvision bilinear_interpolate edge handling:
+    valid = (y >= -1.0) & (y <= dim)
+    yc = jnp.clip(y, 0.0, None)
+    y_low = jnp.floor(yc).astype(jnp.int32)
+    cap = y_low >= dim - 1
+    y_low = jnp.where(cap, dim - 1, y_low)
+    y_high = jnp.where(cap, dim - 1, y_low + 1)
+    frac = jnp.where(cap, 0.0, yc - y_low.astype(jnp.float32))
+
+    w_low = jnp.where(valid, 1.0 - frac, 0.0)
+    w_high = jnp.where(valid, frac, 0.0)
+    W = (w_low[..., None] * jax.nn.one_hot(y_low, dim, dtype=jnp.float32)
+         + w_high[..., None] * jax.nn.one_hot(y_high, dim, dtype=jnp.float32))
+    # Fold the bin average: (..., S, dim) -> (..., P, ratio, dim) -> mean.
+    W = W.reshape(*W.shape[:-2], pooled, ratio, dim).mean(axis=-2)
+    return W
+
+
+@functools.partial(jax.jit, static_argnames=("pooled", "ratio", "roi_chunk"))
+def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, *,
+              spatial_scale: float, pooled: int = 7, ratio: int = 2,
+              roi_chunk: int = 64) -> jnp.ndarray:
+    """Batched RoIAlign.
+
+    Args:
+      fmap: (B, H, W, C) feature maps (NHWC).
+      boxes: (B, R, 4) ``[x1, y1, x2, y2]`` in *image* pixels.
+      spatial_scale: fmap/image scale (1/stride).
+      pooled: output size P (7 in the reference, rel_model_base.py:50).
+      ratio: sampling_ratio (2 in the reference, rel_model_base.py:99).
+      roi_chunk: ROIs processed per chunk (memory/throughput knob).
+
+    Returns:
+      (B, R, P, P, C) pooled features, dtype = fmap.dtype.
+    """
+    B, H, W, C = fmap.shape
+    R = boxes.shape[1]
+    sb = boxes.astype(jnp.float32) * spatial_scale
+    x1, y1, x2, y2 = sb[..., 0], sb[..., 1], sb[..., 2], sb[..., 3]
+    # aligned=False: extents floored at 1.
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+
+    Wy = _interp_weights(y1, roi_h, H, pooled, ratio)  # (B, R, P, H)
+    Wx = _interp_weights(x1, roi_w, W, pooled, ratio)  # (B, R, P, W)
+
+    dtype = fmap.dtype
+    Wy = Wy.astype(dtype)
+    Wx = Wx.astype(dtype)
+
+    n_chunks = -(-R // roi_chunk)
+    pad = n_chunks * roi_chunk - R
+    if pad:
+        Wy = jnp.pad(Wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        Wx = jnp.pad(Wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Wy = Wy.reshape(B, n_chunks, roi_chunk, pooled, H).transpose(1, 0, 2, 3, 4)
+    Wx = Wx.reshape(B, n_chunks, roi_chunk, pooled, W).transpose(1, 0, 2, 3, 4)
+
+    def chunk_fn(w):
+        wy, wx = w  # (B, chunk, P, H), (B, chunk, P, W)
+        # rows: (B, chunk, P, H) @ (B, H, W, C) -> (B, chunk, P, W, C)
+        t = jnp.einsum("brph,bhwc->brpwc", wy, fmap,
+                       preferred_element_type=jnp.float32).astype(dtype)
+        # cols: (B, chunk, P, W) @ (B, chunk, P, W, C) -> (B, chunk, P, P, C)
+        out = jnp.einsum("brqw,brpwc->brpqc", wx, t,
+                         preferred_element_type=jnp.float32)
+        return out.astype(dtype)
+
+    out = lax.map(chunk_fn, (Wy, Wx))  # (n_chunks, B, chunk, P, P, C)
+    out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, n_chunks * roi_chunk,
+                                                  pooled, pooled, C)
+    return out[:, :R]

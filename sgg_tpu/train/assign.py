@@ -1,0 +1,127 @@
+"""Relation target assignment / FG-BG edge sampling (pure JAX, jit-safe).
+
+TPU-native redesign of the reference's samplers:
+
+* ``proposal_assignments_gtbox`` (``/root/reference/lib/proposal_assignments_gtbox.py``)
+  — predcls/sgcls training sampling over GT boxes: keep annotated (FG) pairs
+  capped at ``RELS_PER_IMG * REL_FG_FRACTION``, fill with background pairs
+  (all ordered same-image pairs minus the diagonal minus FG) up to
+  ``RELS_PER_IMG``.
+* the inference-time all-pairs enumeration ``get_rel_inds``
+  (``/root/reference/sgg_models/rel_model_base.py:143-165``).
+
+The reference runs these in torch/numpy on the host with dynamic shapes. Here
+they are fixed-shape, masked, vectorized, and live *inside* the jitted train
+step: candidates get random priority scores and a single ``top_k`` selects the
+edge set (FG always outranks BG; invalid candidates get ``-inf``), so the
+sampling is one fused device op per batch. Budgets are per image (the
+reference pools the budget across the batch, ``proposal_assignments_gtbox.py:47-56``
+— a deliberate, documented difference; statistically equivalent for
+same-sized images).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sgg_tpu.constants import REL_FG_FRACTION
+
+
+def _sample_edges_one(key, rels, rel_mask, node_mask, max_out: int,
+                      fg_fraction: float):
+    """Per-image FG/BG edge sampling. Shapes: rels (E,3); node_mask (N,)."""
+    E = rels.shape[0]
+    N = node_mask.shape[0]
+    max_fg = int(round(max_out * fg_fraction))
+
+    k_fg, k_bg = jax.random.split(key)
+
+    # --- FG candidates: annotated rels, random-ranked, capped at max_fg.
+    u_fg = jax.random.uniform(k_fg, (E,))
+    # rank among valid FG edges; edges ranked >= max_fg are dropped
+    order = jnp.argsort(jnp.where(rel_mask, u_fg, jnp.inf))
+    rank = jnp.zeros((E,), jnp.int32).at[order].set(
+        jnp.arange(E, dtype=jnp.int32))
+    fg_keep = rel_mask & (rank < max_fg)
+    # score: FG in [2, 3) so it always beats BG in [0, 1)
+    fg_score = jnp.where(fg_keep, 2.0 + u_fg, -jnp.inf)
+
+    # --- BG candidates: all ordered valid pairs minus diagonal minus FG pairs.
+    pair_valid = node_mask[:, None] & node_mask[None, :]
+    pair_valid &= ~jnp.eye(N, dtype=bool)
+    fg_pair = jnp.zeros((N, N), bool).at[rels[:, 0], rels[:, 1]].max(rel_mask)
+    bg_valid = (pair_valid & ~fg_pair).reshape(-1)
+    u_bg = jax.random.uniform(k_bg, (N * N,))
+    bg_score = jnp.where(bg_valid, u_bg, -jnp.inf)
+
+    # --- Combined top-k selection.
+    subj_grid = jnp.repeat(jnp.arange(N, dtype=jnp.int32), N)
+    obj_grid = jnp.tile(jnp.arange(N, dtype=jnp.int32), N)
+    all_scores = jnp.concatenate([fg_score, bg_score])
+    all_subj = jnp.concatenate([rels[:, 0].astype(jnp.int32), subj_grid])
+    all_obj = jnp.concatenate([rels[:, 1].astype(jnp.int32), obj_grid])
+    all_pred = jnp.concatenate(
+        [rels[:, 2].astype(jnp.int32), jnp.zeros((N * N,), jnp.int32)])
+
+    top_scores, top_idx = jax.lax.top_k(all_scores, max_out)
+    out_mask = top_scores > -jnp.inf
+    out = jnp.stack([
+        jnp.where(out_mask, all_subj[top_idx], 0),
+        jnp.where(out_mask, all_obj[top_idx], 0),
+        jnp.where(out_mask, all_pred[top_idx], 0),
+    ], axis=1)
+    return out, out_mask
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "fg_fraction"))
+def sample_edges(key, rels: jnp.ndarray, rel_mask: jnp.ndarray,
+                 node_mask: jnp.ndarray, *, max_out: int,
+                 fg_fraction: float = REL_FG_FRACTION):
+    """Batched FG/BG edge sampling for training.
+
+    Args:
+      key: PRNG key.
+      rels: (B, E, 3) annotated relations ``(subj, obj, predicate)``.
+      rel_mask: (B, E) bool.
+      node_mask: (B, N) bool.
+      max_out: edges per image in the output (the per-image budget; the
+        reference analogue is ``RELS_PER_IMG``).
+      fg_fraction: FG cap fraction (``REL_FG_FRACTION`` = 0.25).
+
+    Returns:
+      (sampled (B, max_out, 3) int32, mask (B, max_out) bool). Sampled edges
+      are sorted FG-first; BG edges have predicate 0.
+    """
+    B = rels.shape[0]
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda k, r, rm, nm: _sample_edges_one(k, r, rm, nm, max_out,
+                                               fg_fraction)
+    )(keys, rels, rel_mask, node_mask)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def all_pairs(node_mask: jnp.ndarray):
+    """Inference edge enumeration: all ordered valid pairs minus the diagonal.
+
+    Reference: ``get_rel_inds`` eval branch (rel_model_base.py:148-163).
+
+    Args:
+      node_mask: (B, N) bool.
+
+    Returns:
+      (pairs (B, N*(N-1), 2) int32, mask (B, N*(N-1)) bool) — a static
+      enumeration (independent of the mask) so every batch compiles to the
+      same shape; identical ordering to ``nonzero`` row-major traversal of
+      the reference's candidate matrix.
+    """
+    B, N = node_mask.shape
+    subj, obj = jnp.nonzero(
+        ~jnp.eye(N, dtype=bool), size=N * (N - 1))  # static: off-diagonal grid
+    pairs = jnp.stack([subj, obj], axis=1).astype(jnp.int32)
+    pairs = jnp.broadcast_to(pairs[None], (B, N * (N - 1), 2))
+    mask = node_mask[:, subj] & node_mask[:, obj]
+    return pairs, mask

@@ -1,0 +1,140 @@
+"""Differential test: our evaluator vs the reference evaluator (oracle).
+
+Imports the reference implementation read-only from /root/reference and runs
+both evaluators on identical random scenes. Skipped automatically when the
+reference checkout or torch is unavailable.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def _load_reference_evaluator():
+    try:
+        import torch
+    except ImportError:
+        pytest.skip("torch unavailable")
+    # the reference uses long-removed numpy aliases (sgg_eval.py:227 np.int)
+    for name, repl in (("int", int), ("float", float), ("bool", bool)):
+        if not hasattr(np, name):
+            setattr(np, name, repl)
+    # stub the native deps the reference imports but this oracle never calls
+    # into (torchvision C++ ops; dill)
+    import types
+    if "torchvision" not in sys.modules:
+        def _box_iou(a, b):
+            area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+            area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            lt = torch.maximum(a[:, None, :2], b[None, :, :2])
+            rb = torch.minimum(a[:, None, 2:], b[None, :, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[..., 0] * wh[..., 1]
+            return inter / (area_a[:, None] + area_b[None] - inter)
+
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_boxes = types.ModuleType("torchvision.ops.boxes")
+        tv_boxes.box_iou = _box_iou
+        tv_ops.boxes = tv_boxes
+        tv_ops.roi_align = lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError)
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.ops.boxes"] = tv_boxes
+    if "dill" not in sys.modules:
+        try:
+            import dill  # noqa: F401
+        except ImportError:
+            import pickle
+            sys.modules["dill"] = pickle
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        from lib.sgg_eval import BasicSceneGraphEvaluator  # noqa
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference evaluator unavailable: {e}")
+    return BasicSceneGraphEvaluator
+
+
+def _random_scene(rng, n_obj, n_gt, n_classes=12, n_preds=7):
+    boxes = rng.rand(n_obj, 4) * 200
+    boxes[:, 2:] = boxes[:, :2] + rng.rand(n_obj, 2) * 80 + 5
+    classes = rng.randint(1, n_classes, n_obj)
+    pairs = [(i, j) for i in range(n_obj) for j in range(n_obj) if i != j]
+    sel = rng.choice(len(pairs), n_gt, replace=False)
+    gt_rels = np.asarray([(pairs[s][0], pairs[s][1], rng.randint(1, n_preds))
+                          for s in sel])
+    gt = {"gt_relations": gt_rels, "gt_boxes": boxes, "gt_classes": classes}
+    pred_rel_inds = np.asarray(pairs)
+    rel_scores = rng.rand(len(pairs), n_preds)
+    rel_scores /= rel_scores.sum(1, keepdims=True)
+    obj_scores = rng.rand(n_obj)
+    # emulate filter_dets ordering (the contract both evaluators assume)
+    score = rel_scores[:, 1:].max(1) * obj_scores[pred_rel_inds[:, 0]] * \
+        obj_scores[pred_rel_inds[:, 1]]
+    order = np.argsort(-score)
+    # detection-style jittered boxes for sgdet
+    pred_boxes = boxes + rng.randn(n_obj, 4) * 8
+    pred_boxes[:, 2:] = np.maximum(pred_boxes[:, 2:], pred_boxes[:, :2] + 1)
+    pred = {"pred_rel_inds": pred_rel_inds[order],
+            "rel_scores": rel_scores[order],
+            "pred_classes": classes.copy(),
+            "obj_scores": obj_scores,
+            "pred_boxes": pred_boxes}
+    # flip some predicted classes so sgcls/sgdet recall < 1
+    flip = rng.rand(n_obj) < 0.3
+    pred["pred_classes"][flip] = rng.randint(1, n_classes, flip.sum())
+    return gt, pred
+
+
+@pytest.mark.parametrize("mode", ["predcls", "sgcls", "sgdet"])
+@pytest.mark.parametrize("multiple_preds", [False, True])
+def test_recall_parity_with_reference(mode, multiple_preds):
+    RefEval = _load_reference_evaluator()
+    from sgg_tpu.eval import SGGEvaluator
+
+    rng = np.random.RandomState(42)
+    ref = RefEval(mode, multiple_preds=multiple_preds)
+    ours = SGGEvaluator(mode, multiple_preds=multiple_preds)
+    for _ in range(6):
+        gt, pred = _random_scene(rng, n_obj=rng.randint(4, 10),
+                                 n_gt=rng.randint(2, 8))
+        ref.evaluate_scene_graph_entry(gt, pred)
+        ours.add_image(gt, pred)
+    ref_res = {k: float(np.mean(v))
+               for k, v in ref.result_dict[mode + "_recall"].items()}
+    our_res = ours.mean_recalls()
+    for k in (20, 50, 100, 200, 300):
+        assert abs(ref_res[k] - our_res[k]) < 1e-9, (mode, multiple_preds, k)
+
+
+def test_per_triplet_parity_with_reference():
+    RefEval = _load_reference_evaluator()
+    from sgg_tpu.eval import SGGEvaluator
+
+    rng = np.random.RandomState(7)
+    # triplet counts covering some random keys
+    counts = {f"{a}_{p}_{b}": int(c) for a, p, b, c in
+              rng.randint(1, 12, size=(40, 4))}
+    # per_triplet is only exercised with multiple_preds=True in the reference
+    # (lib/eval.py:40-41); the GC+per_triplet combination crashes there
+    # (sgg_eval.py:239 uses overall_scores defined only in the no-GC branch).
+    ref = RefEval("predcls", multiple_preds=True, triplet_counts=counts,
+                  per_triplet=True)
+    ours = SGGEvaluator("predcls", multiple_preds=True,
+                        triplet_counts=counts, per_triplet=True)
+    for _ in range(4):
+        gt, pred = _random_scene(rng, n_obj=6, n_gt=4)
+        ref.evaluate_scene_graph_entry(gt, pred)
+        ours.add_image(gt, pred)
+    np.testing.assert_allclose(
+        np.asarray(ref.result_dict["predcls_rank"], float),
+        np.asarray(ours.ranks, float))
+    np.testing.assert_allclose(
+        np.asarray(ref.result_dict["predcls_counts"], float),
+        np.asarray(ours.rank_counts, float))

@@ -1,0 +1,216 @@
+"""IMP relation head and the full SGG model (PredCls/SGCls paths).
+
+Rebuild of ``RelModelStanford`` — GRU-based iterative message passing (Xu et
+al. 2017) — from ``/root/reference/sgg_models/rel_model_stanford.py`` and the
+shared machinery of ``rel_model_base.py``, redesigned for fixed-shape padded
+graph batches:
+
+* the reference builds dense ``(num_obj, num_rel)`` incidence matrices per
+  ragged batch (``rel_model_stanford.py:58-66``); here message pooling is a
+  per-image one-hot einsum over the padded ``(B, E)`` edge set — a batched
+  MXU matmul with masked (invalid) edges contributing zero;
+* node/edge features come from the shared RoIAlign kernel
+  (``sgg_tpu/ops/roi_align.py``) over NHWC feature maps; union boxes are the
+  elementwise min/max construction of ``rel_model_base.py:248-250``;
+* the detector trunk output is ``stop_gradient``-ed, matching the frozen
+  detector (``rel_model_stanford.py:125-131``, ``main.py:62-63``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sgg_tpu.constants import POOL_SIZE, STRIDE, VGG_OBJ_DIM
+from sgg_tpu.models.backbone import RoiHead, VGG16Trunk
+from sgg_tpu.models.frequency_bias import FrequencyBias
+from sgg_tpu.models.union_features import UnionBoxFeats
+from sgg_tpu.ops.boxes import union_boxes
+from sgg_tpu.ops.roi_align import roi_align
+
+
+def _take_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-edge node values: (B, N, H)[(B, E)] -> (B, E, H)."""
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+class IMPHead(nn.Module):
+    """3-iteration GRU message passing over node/edge representations.
+
+    Reference: ``message_pass`` (rel_model_stanford.py:48-94) and the
+    obj/rel heads (``:29-33``).
+    """
+
+    num_classes: int
+    num_predicates: int
+    hidden_dim: int = 512
+    mp_iter: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, node_feat: jnp.ndarray, edge_feat: jnp.ndarray,
+                 pairs: jnp.ndarray, pair_mask: jnp.ndarray):
+        """node_feat (B,N,obj_dim), edge_feat (B,E,obj_dim), pairs (B,E,2).
+
+        Returns (obj_logits (B,N,C) f32, rel_logits (B,E,R) f32).
+        """
+        H = self.hidden_dim
+        dt = self.dtype
+        N = node_feat.shape[1]
+
+        obj_rep = nn.Dense(H, dtype=dt, name="obj_unary")(node_feat)
+        rel_rep = nn.relu(nn.Dense(H, dtype=dt, name="edge_unary")(edge_feat))
+
+        node_gru = nn.GRUCell(H, dtype=dt, name="node_gru")
+        edge_gru = nn.GRUCell(H, dtype=dt, name="edge_gru")
+        gate = lambda name: nn.Dense(1, dtype=dt, name=name)
+
+        sub_vert_w = gate("sub_vert_w_fc")
+        obj_vert_w = gate("obj_vert_w_fc")
+        out_edge_w = gate("out_edge_w_fc")
+        in_edge_w = gate("in_edge_w_fc")
+
+        vert, _ = node_gru(jnp.zeros_like(obj_rep), obj_rep)
+        edge, _ = edge_gru(jnp.zeros_like(rel_rep), rel_rep)
+
+        subj, obj = pairs[..., 0], pairs[..., 1]
+        m = pair_mask.astype(dt)
+        subj_inc = jax.nn.one_hot(subj, N, dtype=dt) * m[..., None]  # (B,E,N)
+        obj_inc = jax.nn.one_hot(obj, N, dtype=dt) * m[..., None]
+
+        for _ in range(self.mp_iter):
+            sub_vert = _take_nodes(vert, subj)  # (B, E, H)
+            obj_vert = _take_nodes(vert, obj)
+            cat_sub = jnp.concatenate([sub_vert, edge], axis=-1)
+            cat_obj = jnp.concatenate([obj_vert, edge], axis=-1)
+
+            # edge update: gated sum of endpoint states
+            # (rel_model_stanford.py:78-83)
+            msg = (nn.sigmoid(sub_vert_w(cat_sub)) * sub_vert
+                   + nn.sigmoid(obj_vert_w(cat_obj)) * obj_vert)
+            new_edge, _ = edge_gru(edge, msg)
+
+            # node update: incidence-pooled gated edge states
+            # (rel_model_stanford.py:86-92)
+            pre_out = nn.sigmoid(out_edge_w(cat_sub)) * edge
+            pre_in = nn.sigmoid(in_edge_w(cat_obj)) * edge
+            vert_ctx = (
+                jnp.einsum("ben,beh->bnh", subj_inc, pre_out,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("ben,beh->bnh", obj_inc, pre_in,
+                             preferred_element_type=jnp.float32)).astype(dt)
+            new_vert, _ = node_gru(vert, vert_ctx)
+
+            vert, edge = new_vert, new_edge
+
+        obj_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                              name="obj_fc")(vert.astype(jnp.float32))
+        rel_logits = nn.Dense(self.num_predicates, dtype=jnp.float32,
+                              name="rel_fc")(edge.astype(jnp.float32))
+        return obj_logits, rel_logits
+
+
+class RelModelIMP(nn.Module):
+    """Full PredCls/SGCls SGG model: trunk -> RoI features -> IMP head.
+
+    Reference assembly: RelModelStanford.forward/predict
+    (rel_model_stanford.py:97-207) with the VGG16 backbone path of
+    RelModelBase (rel_model_base.py:83-117). The sgdet path plugs a detector
+    in front and reuses everything from ``node_edge_features`` on.
+    """
+
+    num_classes: int
+    num_predicates: int
+    mode: str = "sgcls"
+    use_bias: bool = False
+    test_bias: bool = False
+    hidden_dim: int = 512
+    obj_dim: int = VGG_OBJ_DIM
+    pool_size: int = POOL_SIZE
+    stride: int = STRIDE
+    mp_iter: int = 3
+    dtype: Any = jnp.bfloat16
+    freq_table: Optional[np.ndarray] = None  # (C, C, R) log distribution
+
+    @nn.compact
+    def __call__(self, images, boxes, classes, pairs, pair_mask, *,
+                 fmap=None, train: bool = False):
+        """Forward pass over a padded batch.
+
+        Args:
+          images: (B, H, W, 3) or None when ``fmap`` given.
+          boxes: (B, N, 4) image-pixel boxes (GT boxes for predcls/sgcls,
+            detections for sgdet).
+          classes: (B, N) GT/detected classes (used for predcls obj_preds
+            and frequency-bias indexing).
+          pairs: (B, E, 2) candidate edges; pair_mask (B, E).
+          fmap: optional precomputed (B, h, w, C) feature maps.
+          train: enables dropout/batchnorm updates.
+
+        Returns dict with obj_logits (B,N,C), rel_logits (B,E,R),
+        obj_preds (B,N), obj_scores (B,N) — all float32.
+        """
+        if fmap is None:
+            # frozen detector semantics (rel_model_stanford.py:125-131)
+            fmap = jax.lax.stop_gradient(
+                VGG16Trunk(dtype=self.dtype, name="trunk")(images))
+
+        # node + union RoI features through one RoIAlign kernel
+        # (rel_model_base.py:245-260)
+        node_pool = roi_align(fmap, boxes, spatial_scale=1.0 / self.stride,
+                              pooled=self.pool_size)
+        uboxes = union_boxes(boxes, pairs[..., 0], pairs[..., 1])
+        union_pool = roi_align(fmap, uboxes, spatial_scale=1.0 / self.stride,
+                               pooled=self.pool_size)
+
+        # add rasterized box-pair conv features (get_union_boxes.py:99-101)
+        b_s = jnp.take_along_axis(boxes, pairs[..., 0:1].repeat(4, -1), 1)
+        b_o = jnp.take_along_axis(boxes, pairs[..., 1:2].repeat(4, -1), 1)
+        pair_boxes = jnp.concatenate([b_s, b_o], axis=-1)
+        union_feats = UnionBoxFeats(dim=fmap.shape[-1],
+                                    pooling_size=self.pool_size,
+                                    dtype=self.dtype, name="union_feats")
+        union_pool = union_pool + union_feats(pair_boxes, train=train)
+
+        node_feat = RoiHead(out_dim=self.obj_dim, with_final_relu=True,
+                            dtype=self.dtype,
+                            name="roi_fmap_obj")(node_pool, train=train)
+        edge_feat = RoiHead(out_dim=self.obj_dim, with_final_relu=False,
+                            dtype=self.dtype,
+                            name="roi_fmap")(union_pool, train=train)
+
+        obj_logits, rel_logits = IMPHead(
+            num_classes=self.num_classes,
+            num_predicates=self.num_predicates,
+            hidden_dim=self.hidden_dim, mp_iter=self.mp_iter,
+            dtype=self.dtype, name="imp")(node_feat, edge_feat, pairs,
+                                          pair_mask)
+
+        # object predictions: argmax of non-background softmax
+        # (rel_model_stanford.py:159-196)
+        probs = jax.nn.softmax(obj_logits, axis=-1)
+        obj_preds = jnp.argmax(probs[..., 1:], axis=-1) + 1
+        obj_scores = jnp.max(probs[..., 1:], axis=-1)
+        if self.mode == "predcls":
+            obj_preds = classes
+            obj_scores = jnp.ones_like(obj_scores)
+
+        if self.use_bias:
+            subj_cls = jnp.take_along_axis(obj_preds, pairs[..., 0], 1)
+            obj_cls = jnp.take_along_axis(obj_preds, pairs[..., 1], 1)
+            freq = FrequencyBias(num_classes=self.num_classes,
+                                 num_predicates=self.num_predicates,
+                                 init_table=self.freq_table,
+                                 name="freq_bias")(subj_cls, obj_cls)
+            rel_logits = freq if self.test_bias else rel_logits + freq
+
+        return {
+            "obj_logits": obj_logits,
+            "rel_logits": rel_logits,
+            "obj_preds": obj_preds,
+            "obj_scores": obj_scores,
+        }

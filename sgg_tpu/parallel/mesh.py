@@ -1,0 +1,54 @@
+"""Device mesh and data-parallel sharding.
+
+The reference supports no multi-device training at all (single-GPU asserts,
+``/root/reference/config.py:71``, ``rel_model_stanford.py:121``; SURVEY.md
+§2.11). The TPU build scales data-parallel from the start: a 1-D ``Mesh``
+over all devices, batches sharded on the leading axis, parameters/optimizer
+state replicated, and XLA inserting the ``psum`` gradient reduction over ICI
+when the jitted train step consumes sharded inputs. Multi-host pods extend
+the same mesh over DCN via ``jax.distributed.initialize`` — no code change.
+
+Edge-axis sharding (the CP analogue for giant graphs, SURVEY.md §2.11) can be
+layered on the same mesh by sharding ``(B, E)`` arrays on a second axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a GraphBatch with the leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        tree)

@@ -1,0 +1,80 @@
+"""Jitted training and evaluation steps.
+
+Rebuild of the reference's training inner loop (``/root/reference/main.py:100-122``
+``train_batch`` and the eval branch of ``rel_model_stanford.py:183-207``):
+edge sampling, forward, dnorm/baseline losses, grad clip and SGD update all
+compile into ONE device program — the reference crosses the host/device
+boundary several times per step (Cython rects, numpy samplers;
+SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgg_tpu.config import Config
+from sgg_tpu.data.graph_batch import GraphBatch
+from sgg_tpu.train.assign import all_pairs, sample_edges
+from sgg_tpu.train.losses import edge_losses, node_losses
+from sgg_tpu.train.state import TrainState
+
+
+def make_train_step(model, config: Config):
+    """Returns jitted ``train_step(state, batch, key) -> (state, metrics)``."""
+
+    loss_weights = (config.alpha, config.beta, config.gamma)
+
+    def train_step(state: TrainState, batch: GraphBatch, key):
+        k_sample, k_dropout = jax.random.split(key)
+        sampled, pair_mask = sample_edges(
+            k_sample, batch.rels, batch.rel_mask, batch.node_mask,
+            max_out=batch.max_edges)
+        pairs, rel_labels = sampled[..., :2], sampled[..., 2]
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.images, batch.boxes, batch.classes, pairs, pair_mask,
+                train=True, rngs={"dropout": k_dropout},
+                mutable=["batch_stats"])
+            losses = {}
+            losses.update(node_losses(out["obj_logits"], batch.classes,
+                                      batch.node_mask))
+            losses.update(edge_losses(out["rel_logits"], rel_labels,
+                                      pair_mask, config.loss, loss_weights))
+            total = sum(jnp.asarray(v) for v in losses.values())
+            return total, (losses, mutated)
+
+        (total, (losses, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mutated["batch_stats"])
+        metrics = dict(losses)
+        metrics["total"] = total
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model):
+    """Returns jitted ``eval_step(variables, batch) -> outputs``.
+
+    Enumerates all ordered pairs (reference rel_model_base.py:148-163) and
+    runs the forward in inference mode; downstream host code feeds
+    ``filter_dets`` + the evaluator.
+    """
+
+    def eval_step(variables, batch: GraphBatch):
+        pairs, pair_mask = all_pairs(batch.node_mask)
+        out = model.apply(variables, batch.images, batch.boxes, batch.classes,
+                          pairs, pair_mask, train=False)
+        out["pairs"] = pairs
+        out["pair_mask"] = pair_mask
+        out["rel_dists"] = jax.nn.softmax(out["rel_logits"], axis=-1)
+        return out
+
+    return jax.jit(eval_step)

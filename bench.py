@@ -1,0 +1,84 @@
+"""Benchmark: SGCls training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measured workload: the full SGCls training step (VGG16 trunk on 592x592
+images, RoIAlign node+union features, rects conv, 4096-d RoI heads, 3-iter
+IMP message passing, dnorm loss, SGD update) on VG-statistics synthetic
+batches — the same per-image compute as the reference's canonical run
+(``/root/reference/main.py`` with ``-b 24``, README.md:184-192).
+
+Baseline: the reference trains VG SGCls (57k images/epoch, 20 epochs + eval)
+in ~1 day on one 1080Ti/2080Ti-class GPU at b=24 (README.md:43,179-198;
+GQA ~1 day README.md:227), i.e. ~13 images/sec. vs_baseline reports our
+images/sec against that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 13.0  # 2080Ti-class estimate, see docstring
+BATCH = 24
+MAX_NODES = 40
+MAX_EDGES = 256
+IMG = 592
+STEPS = 20
+WARMUP = 3
+
+
+def main():
+    import jax.numpy as jnp
+
+    from sgg_tpu.config import Config
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models import RelModelIMP
+    from sgg_tpu.train.assign import sample_edges
+    from sgg_tpu.train.state import create_train_state
+    from sgg_tpu.train.step import make_train_step
+
+    config = Config(batch_size=BATCH, max_nodes=MAX_NODES,
+                    max_edges=MAX_EDGES, mode="sgcls", loss="dnorm")
+    model = RelModelIMP(num_classes=151, num_predicates=51, mode="sgcls",
+                        dtype=jnp.bfloat16)
+    ds = SyntheticSGGDataset(num_images=BATCH, num_classes=151,
+                             num_predicates=51, max_objects=20,
+                             image_size=IMG, with_images=True, seed=0)
+    gb = ds.batch(list(range(BATCH)), max_nodes=MAX_NODES,
+                  max_edges=MAX_EDGES)
+    sampled, pmask = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                                  gb.node_mask, max_out=MAX_EDGES)
+    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
+                           gb.classes, sampled[..., :2], pmask, train=False)
+    state = create_train_state(config, variables)
+    step = make_train_step(model, config)
+
+    # NOTE: block_until_ready does not synchronize on the tunneled axon
+    # backend; a scalar device->host readback is the reliable barrier.
+    for i in range(WARMUP):
+        state, metrics = step(state, gb, jax.random.key(i))
+    float(metrics["total"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = step(state, gb, jax.random.key(WARMUP + i))
+    float(metrics["total"])  # forces completion of the whole chain
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * STEPS / dt
+    assert np.isfinite(float(metrics["total"]))
+    print(json.dumps({
+        "metric": "sgcls_train_images_per_sec",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Host input pipeline: decode → resize → normalize → pad → pack → prefetch.
+
+Replaces the reference's PyTorch ``DataLoader`` + ``Blob`` path
+(``/root/reference/dataloaders/visual_genome.py:377-455,691-739``,
+``blob.py``): per-image PIL decode, SquarePad-to-IM_SCALE with ImageNet
+normalization, random horizontal flip with box mirroring, duplicate-relation
+sampling, and fixed-shape padded batch packing (native collate). Batches are
+assembled by worker threads and double-buffered through a queue so the TPU
+step never waits on the host (the reference's analogue is DataLoader worker
+processes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from sgg_tpu.constants import BOX_SCALE, IM_SCALE
+from sgg_tpu.data.datasets import SGGDataset, filter_duplicate_rels
+from sgg_tpu.data.graph_batch import GraphBatch, pack_ragged
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode an image file to float32 RGB in [0, 1]."""
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
+                    box_coordinates: str, is_train: bool,
+                    rng: np.random.RandomState, im_scale: int = IM_SCALE,
+                    filter_duplicates: bool = True):
+    """One example: resize+normalize+pad image, scale+clip+flip boxes.
+
+    Returns (padded image (S, S, 3), boxes in padded-frame pixels, rels,
+    (content_h, content_w)). Box scaling follows visual_genome.py:377-455:
+    stanford boxes live at BOX_SCALE along the longest side; native boxes in
+    original pixels.
+    """
+    h, w = image.shape[:2]
+    s = im_scale / max(h, w)
+    ch, cw = int(round(h * s)), int(round(w * s))
+    ch, cw = min(ch, im_scale), min(cw, im_scale)
+
+    # resize with PIL (bilinear) — runs in worker threads
+    from PIL import Image
+    img = Image.fromarray((image * 255).astype(np.uint8)).resize(
+        (cw, ch), Image.BILINEAR)
+    img = np.asarray(img, np.float32) / 255.0
+
+    boxes = boxes.astype(np.float32).copy()
+    if box_coordinates == "box_scale":
+        boxes *= im_scale / BOX_SCALE
+    else:
+        boxes *= s
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
+
+    flipped = is_train and rng.rand() > 0.5
+    if flipped:
+        img = img[:, ::-1]
+        x1 = cw - boxes[:, 2].copy()
+        x2 = cw - boxes[:, 0].copy()
+        boxes[:, 0], boxes[:, 2] = x1, x2
+
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    canvas = np.zeros((im_scale, im_scale, 3), np.float32)
+    canvas[:ch, :cw] = img
+
+    if is_train and filter_duplicates and len(rels):
+        rels = filter_duplicate_rels(rels, rng)
+
+    return canvas, boxes, rels, (ch, cw)
+
+
+class BatchLoader:
+    """Iterable over padded GraphBatches with threaded decode + prefetch."""
+
+    def __init__(self, dataset: SGGDataset, batch_size: int, max_nodes: int,
+                 max_edges: int, shuffle: Optional[bool] = None,
+                 drop_last: Optional[bool] = None, num_workers: int = 4,
+                 prefetch: int = 2, seed: int = 0,
+                 with_images: bool = True, im_scale: int = IM_SCALE):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.max_nodes = max_nodes
+        self.max_edges = max_edges
+        # train loader shuffles and drops last (visual_genome.py:720-739)
+        self.shuffle = dataset.is_train if shuffle is None else shuffle
+        self.drop_last = dataset.is_train if drop_last is None else drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self.with_images = with_images
+        self.im_scale = im_scale
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _make_example(self, idx: int, rng: np.random.RandomState):
+        import os
+        if self.with_images and self.ds.filenames:
+            img = load_image(os.path.join(self.ds.images_dir,
+                                          self.ds.filenames[idx]))
+        else:
+            # feature-level / test operation: synthesize a blank canvas with
+            # the boxes' extent as the "image"
+            ext = max(float(self.ds.gt_boxes[idx].max()), 1.0)
+            img = np.zeros((int(ext), int(ext), 3), np.float32)
+        return prepare_example(
+            img, self.ds.gt_boxes[idx], self.ds.relationships[idx],
+            self.ds.box_coordinates, self.ds.is_train, rng,
+            im_scale=self.im_scale,
+            filter_duplicates=self.ds.filter_duplicates)
+
+    def _assemble(self, indices, rng) -> GraphBatch:
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            examples = list(pool.map(
+                lambda i: self._make_example(i, rng), indices))
+        images = np.stack([e[0] for e in examples])
+        im_hw = np.asarray([e[3] for e in examples], np.float32)
+        return pack_ragged(
+            [e[1] for e in examples],
+            [self.ds.gt_classes[i] for i in indices],
+            [e[2] for e in examples],
+            max_nodes=self.max_nodes, max_edges=self.max_edges,
+            images=images, im_hw=im_hw)
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = np.arange(len(self.ds))
+        rng = np.random.RandomState(self.seed + self._epoch)
+        self._epoch += 1
+        if self.shuffle:
+            rng.shuffle(order)
+        n = len(self.ds)
+        ends = range(self.batch_size, n + 1, self.batch_size) \
+            if self.drop_last else range(self.batch_size,
+                                         n + self.batch_size, self.batch_size)
+        chunks = [order[max(0, e - self.batch_size):min(e, n)] for e in ends]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(chunk, rng))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,96 @@
+import numpy as np
+
+from sgg_tpu.constants import BOX_SCALE
+from sgg_tpu.data.datasets import SGGDataset
+from sgg_tpu.data.pipeline import (IMAGENET_MEAN, IMAGENET_STD, BatchLoader,
+                                   prepare_example)
+
+
+def test_prepare_example_geometry():
+    rng = np.random.RandomState(0)
+    img = rng.rand(200, 400, 3).astype(np.float32)  # landscape
+    boxes = np.asarray([[0, 0, BOX_SCALE, BOX_SCALE / 2]], np.float32)
+    canvas, out_boxes, rels, (ch, cw) = prepare_example(
+        img, boxes, np.zeros((0, 3), np.int32), "box_scale",
+        is_train=False, rng=rng, im_scale=128)
+    assert canvas.shape == (128, 128, 3)
+    assert (cw, ch) == (128, 64)  # longest side -> 128
+    # BOX_SCALE spans the longest side -> full content width
+    np.testing.assert_allclose(out_boxes[0], [0, 0, 128, 64], atol=1e-4)
+    # padding region is zeros (ImageNet-mean after normalization)
+    assert np.abs(canvas[ch:]).max() == 0
+
+
+def test_prepare_example_native_coords():
+    rng = np.random.RandomState(1)
+    img = rng.rand(100, 50, 3).astype(np.float32)  # portrait
+    boxes = np.asarray([[10, 20, 30, 80]], np.float32)
+    canvas, out_boxes, _, (ch, cw) = prepare_example(
+        img, boxes, np.zeros((0, 3), np.int32), "native",
+        is_train=False, rng=rng, im_scale=200)
+    s = 200 / 100
+    assert (ch, cw) == (200, 100)
+    np.testing.assert_allclose(out_boxes[0], np.asarray([10, 20, 30, 80]) * s,
+                               atol=1e-4)
+
+
+def test_flip_mirrors_boxes():
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:, :32] = 1.0  # left half bright
+    boxes = np.asarray([[0, 0, 512, 1024]], np.float32)  # left half
+    # force flip by trying seeds until one flips
+    for seed in range(20):
+        rng = np.random.RandomState(seed)
+        canvas, out_boxes, _, (ch, cw) = prepare_example(
+            img, boxes.copy(), np.zeros((0, 3), np.int32), "box_scale",
+            is_train=True, rng=rng, im_scale=64)
+        denorm = canvas * IMAGENET_STD + IMAGENET_MEAN
+        if denorm[0, -1, 0] > 0.5:  # right side bright -> flipped
+            np.testing.assert_allclose(out_boxes[0], [32, 0, 64, 64],
+                                       atol=1e-4)
+            assert (out_boxes[:, 2] >= out_boxes[:, 0]).all()
+            return
+    raise AssertionError("no flip occurred in 20 seeds")
+
+
+def _fake_dataset(n=6, mode="train"):
+    rng = np.random.RandomState(0)
+    boxes, classes, rels = [], [], []
+    for _ in range(n):
+        k = rng.randint(2, 5)
+        b = rng.rand(k, 4).astype(np.float32) * 500
+        b[:, 2:] += b[:, :2] + 10
+        boxes.append(b)
+        classes.append(rng.randint(1, 9, k))
+        rels.append(np.asarray([[0, 1, rng.randint(1, 4)]], np.int32))
+    return SGGDataset(name="stanford", mode=mode, filenames=[],
+                      images_dir="", gt_boxes=boxes, gt_classes=classes,
+                      relationships=rels,
+                      ind_to_classes=["bg"] + [f"c{i}" for i in range(8)],
+                      ind_to_predicates=["bg", "p1", "p2", "p3"])
+
+
+def test_batch_loader_prefetch_and_shapes():
+    ds = _fake_dataset(7)
+    loader = BatchLoader(ds, batch_size=2, max_nodes=8, max_edges=8,
+                         with_images=False, im_scale=64, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # drop_last on train
+    for gb in batches:
+        assert gb.images.shape == (2, 64, 64, 3)
+        assert gb.boxes.shape == (2, 8, 4)
+        assert np.asarray(gb.num_nodes()).min() >= 2
+    # eval loader keeps the tail
+    ds_eval = _fake_dataset(7, mode="test")
+    loader_e = BatchLoader(ds_eval, batch_size=2, max_nodes=8, max_edges=8,
+                           with_images=False, im_scale=64)
+    assert len(list(loader_e)) == 4
+
+
+def test_batch_loader_shuffles_across_epochs():
+    ds = _fake_dataset(8)
+    loader = BatchLoader(ds, batch_size=4, max_nodes=8, max_edges=8,
+                         with_images=False, im_scale=32, seed=1)
+    e1 = [np.asarray(b.boxes).tobytes() for b in loader]
+    e2 = [np.asarray(b.boxes).tobytes() for b in loader]
+    assert e1 != e2  # reshuffled epoch 2

@@ -18,6 +18,7 @@ images/sec against that estimate.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -34,6 +35,16 @@ WARMUP = 3
 
 def main():
     import jax.numpy as jnp
+
+    # persistent compilation cache: the full-model compile via the remote
+    # tunnel takes minutes; cache it across bench runs
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from sgg_tpu.config import Config
     from sgg_tpu.data import SyntheticSGGDataset

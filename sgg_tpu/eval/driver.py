@@ -1,0 +1,166 @@
+"""Evaluation driver: run a model over an eval split and compute all metrics.
+
+Rebuild of ``val_epoch``/``val_batch`` (``/root/reference/lib/eval.py``):
+
+* sgcls runs both predcls+sgcls evaluators (``eval.py:21``);
+* GC + no-GC evaluators, per-predicate mean-recall lists (skipped for
+  zero-shot and val splits, ``eval.py:46-53``), per-triplet stats for
+  all-shot splits (``eval.py:41``);
+* optional predicate down-weighting by frequency^pred_weight
+  (``eval.py:24-29,164-168``);
+* sgdet box-threshold retry loop 0.2→0.05→0.01 (``eval.py:125-133``).
+
+TPU-native differences: eval batches are padded fixed-shape (the reference
+forces batch size 1, ``visual_genome.py:730``) and the forward is one jitted
+program; matching runs in the original numpy evaluator on the host. Boxes
+are compared in the model's IM_SCALE frame for both GT and predictions —
+IoU is scale-invariant, so metrics match the reference's original-pixel
+evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from sgg_tpu.config import Config
+from sgg_tpu.data.datasets import SGGDataset
+from sgg_tpu.data.pipeline import BatchLoader
+from sgg_tpu.eval.sgg_eval import MeanRecallEvaluator, SGGEvaluator
+from sgg_tpu.eval.surgery import filter_dets
+from sgg_tpu.models.frequency_bias import count_matrices
+
+ALL_SHOT_SPLITS = ("val_alls", "test_alls")
+
+
+def predicate_reweighting(train: SGGDataset, pred_weight: float) -> np.ndarray:
+    """Per-predicate weights from dataset frequency (eval.py:24-29)."""
+    fg, bg = count_matrices(train.gt_boxes, train.gt_classes,
+                            train.relationships, train.num_classes,
+                            train.num_predicates, must_overlap=True)
+    fg[:, :, 0] = bg + 1
+    fg = fg + 1
+    return fg.mean(axis=(0, 1)) ** pred_weight
+
+
+def apply_predicate_weights(rel_scores: np.ndarray,
+                            weights: np.ndarray) -> np.ndarray:
+    """Down-weight frequent predicates and renormalize (eval.py:164-168)."""
+    out = rel_scores.copy()
+    out[:, 1:] = out[:, 1:] * (1.0 / weights[1:])
+    out = out / out.sum(axis=1, keepdims=True)
+    return out
+
+
+def val_epoch(model, variables, dataset: SGGDataset, config: Config,
+              name: str, *, train: Optional[SGGDataset] = None,
+              n_batches: int = -1, eval_batch_size: int = 8,
+              with_images: bool = True, collect_entries: bool = False,
+              log_fn=None, verbose: bool = True) -> Dict[str, float]:
+    """Evaluate one split of ``model`` (a RelModelIMP-compatible module).
+
+    Returns a flat results dict ``{eval_m}/{name}_R@K_{GC|NOGC}`` etc.
+    Runs one jitted forward per eval regime (the reference re-runs the model
+    with ``set_mode`` per regime, eval.py:56).
+    """
+    from sgg_tpu.train.step import make_eval_step
+
+    eval_modes = ["sgdet"] if config.mode == "sgdet" else ["predcls", "sgcls"]
+
+    pred_weights = None
+    if config.pred_weight != 0 and train is not None:
+        pred_weights = predicate_reweighting(train, config.pred_weight)
+
+    per_triplet = name in ALL_SHOT_SPLITS
+    with_mr = not name.startswith("val_") and "zs" not in name
+
+    evaluators = {}
+    mr_lists = {}
+    for m in eval_modes:
+        if m == "sgdet" and name.startswith("val_"):
+            continue  # skipped for validation (eval.py:34-35)
+        evaluators[m] = SGGEvaluator(m)
+        evaluators[m + "_nogc"] = SGGEvaluator(
+            m, multiple_preds=True, per_triplet=per_triplet,
+            triplet_counts=dataset.triplet_counts if per_triplet else None)
+        if with_mr:
+            mr_lists[m] = MeanRecallEvaluator(m, dataset.ind_to_predicates)
+            mr_lists[m + "_nogc"] = MeanRecallEvaluator(
+                m, dataset.ind_to_predicates, multiple_preds=True)
+
+    entries = []
+    for m in eval_modes:
+        if m not in evaluators:
+            continue
+        eval_step = make_eval_step(model, mode=m)
+        loader = BatchLoader(dataset, batch_size=eval_batch_size,
+                             max_nodes=config.max_nodes,
+                             max_edges=config.max_edges, shuffle=False,
+                             drop_last=False, with_images=with_images)
+        img_base = 0
+        for b_i, batch in enumerate(loader):
+            if n_batches > -1 and b_i >= n_batches:
+                break
+            out = eval_step(variables, batch)
+            node_mask = np.asarray(batch.node_mask)
+            obj_scores = np.asarray(out["obj_scores"], np.float32)
+            obj_preds = np.asarray(out["obj_preds"])
+            rel_dists = np.asarray(out["rel_dists"], np.float32)
+            pairs = np.asarray(out["pairs"])
+            pair_mask = np.asarray(out["pair_mask"])
+            boxes = np.asarray(batch.boxes)
+
+            for i in range(batch.batch_size):
+                idx = img_base + i
+                if idx >= len(dataset):
+                    break
+                n = int(node_mask[i].sum())
+                gt_rels = dataset.relationships[idx]
+                if len(gt_rels) == 0 or n == 0:
+                    continue
+                entry = filter_dets(boxes[i][:n], obj_scores[i][:n],
+                                    obj_preds[i][:n], pairs[i], rel_dists[i],
+                                    pair_mask[i])
+                if pred_weights is not None:
+                    entry["rel_scores"] = apply_predicate_weights(
+                        entry["rel_scores"], pred_weights)
+                # GT in the same (padded-frame) coordinate space as the
+                # predictions; graphs beyond max_nodes are truncated
+                # identically on both sides.
+                keep = (gt_rels[:, 0] < n) & (gt_rels[:, 1] < n)
+                gt_entry = {
+                    "gt_classes": dataset.gt_classes[idx][:n],
+                    "gt_relations": gt_rels[keep],
+                    "gt_boxes": boxes[i][:n],
+                }
+                if len(gt_entry["gt_relations"]) == 0:
+                    continue
+                if collect_entries and m == eval_modes[0]:
+                    entries.append(entry)
+                evaluators[m].add_image(gt_entry, entry)
+                evaluators[m + "_nogc"].add_image(gt_entry, entry)
+                if with_mr:
+                    mr_lists[m].add_image(gt_entry, entry)
+                    mr_lists[m + "_nogc"].add_image(gt_entry, entry)
+            img_base += batch.batch_size
+
+    results: Dict[str, float] = {}
+    for m in eval_modes:
+        if m not in evaluators:
+            continue
+        for key, sfx in ((m, "GC"), (m + "_nogc", "NOGC")):
+            res = evaluators[key].results(verbose=verbose)
+            for rk, v in res.items():
+                if rk.startswith("R@"):
+                    results[f"{m}/{name}_{rk}_{sfx}"] = v
+                else:
+                    results[f"{m}/{name}_{rk}"] = v
+            if with_mr:
+                for rk, v in mr_lists[key].results().items():
+                    results[f"{m}/{name}_{rk}_{sfx}"] = v
+    if log_fn is not None:
+        log_fn(results)
+    if collect_entries:
+        results["_entries"] = entries  # type: ignore
+    return results

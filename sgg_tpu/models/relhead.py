@@ -138,7 +138,8 @@ class RelModelIMP(nn.Module):
 
     @nn.compact
     def __call__(self, images, boxes, classes, pairs, pair_mask, *,
-                 fmap=None, train: bool = False):
+                 fmap=None, train: bool = False,
+                 mode: Optional[str] = None):
         """Forward pass over a padded batch.
 
         Args:
@@ -151,9 +152,14 @@ class RelModelIMP(nn.Module):
           fmap: optional precomputed (B, h, w, C) feature maps.
           train: enables dropout/batchnorm updates.
 
+          mode: evaluation regime override; defaults to the module's mode.
+            The reference switches the model mode per eval regime
+            (lib/eval.py:56 ``set_mode``) — here it is a call-time static.
+
         Returns dict with obj_logits (B,N,C), rel_logits (B,E,R),
         obj_preds (B,N), obj_scores (B,N) — all float32.
         """
+        mode = mode or self.mode
         if fmap is None:
             # frozen detector semantics (rel_model_stanford.py:125-131)
             fmap = jax.lax.stop_gradient(
@@ -195,7 +201,7 @@ class RelModelIMP(nn.Module):
         probs = jax.nn.softmax(obj_logits, axis=-1)
         obj_preds = jnp.argmax(probs[..., 1:], axis=-1) + 1
         obj_scores = jnp.max(probs[..., 1:], axis=-1)
-        if self.mode == "predcls":
+        if mode == "predcls":
             obj_preds = classes
             obj_scores = jnp.ones_like(obj_scores)
 

@@ -60,18 +60,19 @@ def make_train_step(model, config: Config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model):
+def make_eval_step(model, mode: str = None):
     """Returns jitted ``eval_step(variables, batch) -> outputs``.
 
     Enumerates all ordered pairs (reference rel_model_base.py:148-163) and
     runs the forward in inference mode; downstream host code feeds
-    ``filter_dets`` + the evaluator.
+    ``filter_dets`` + the evaluator. ``mode`` overrides the model's regime
+    per eval pass (reference lib/eval.py:56 ``set_mode``).
     """
 
     def eval_step(variables, batch: GraphBatch):
         pairs, pair_mask = all_pairs(batch.node_mask)
         out = model.apply(variables, batch.images, batch.boxes, batch.classes,
-                          pairs, pair_mask, train=False)
+                          pairs, pair_mask, train=False, mode=mode)
         out["pairs"] = pairs
         out["pair_mask"] = pair_mask
         out["rel_dists"] = jax.nn.softmax(out["rel_logits"], axis=-1)

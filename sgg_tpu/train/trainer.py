@@ -1,0 +1,185 @@
+"""Training driver: the end-to-end program tying data → model → train → eval.
+
+Rebuild of the reference's script-level trainer (``/root/reference/main.py``):
+dataset/split assembly, model construction, checkpoint resume, the epoch loop
+with interval loss averaging and s/batch reporting (``main.py:196-236``),
+per-epoch checkpointing (``main.py:249-254``), per-epoch validation and the
+final test sweep over all eval splits (``main.py:256-288``).
+
+TPU-native shape: a ``Trainer`` class over jitted steps and the threaded
+input pipeline instead of module-level script code; device work is one fused
+step per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgg_tpu.config import Config
+from sgg_tpu.data.datasets import SGGDataset
+from sgg_tpu.data.pipeline import BatchLoader
+from sgg_tpu.eval.driver import val_epoch
+from sgg_tpu.models.frequency_bias import (count_matrices,
+                                           log_predicate_distribution)
+from sgg_tpu.models.relhead import RelModelIMP
+from sgg_tpu.train import checkpoint as ckpt
+from sgg_tpu.train.assign import sample_edges
+from sgg_tpu.train.state import TrainState, create_train_state
+from sgg_tpu.train.step import make_eval_step, make_train_step
+
+
+def build_model(config: Config, train_data: SGGDataset) -> RelModelIMP:
+    """Flagship IMP model from config + dataset vocab (main.py:54-60)."""
+    freq_table = None
+    if config.use_bias:
+        fg, bg = count_matrices(train_data.gt_boxes, train_data.gt_classes,
+                                train_data.relationships,
+                                train_data.num_classes,
+                                train_data.num_predicates, must_overlap=True)
+        freq_table = log_predicate_distribution(fg, bg)
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else \
+        jnp.float32
+    return RelModelIMP(
+        num_classes=train_data.num_classes,
+        num_predicates=train_data.num_predicates,
+        mode=config.mode, use_bias=config.use_bias,
+        test_bias=config.test_bias, dtype=dtype, freq_table=freq_table)
+
+
+class Trainer:
+    """Owns model, state, steps, and the epoch/val/test loops."""
+
+    def __init__(self, config: Config, splits: Dict[str, SGGDataset],
+                 model: Optional[RelModelIMP] = None,
+                 with_images: bool = True, log_fn=None):
+        self.config = config
+        self.splits = splits
+        self.train_data = splits["train"]
+        self.with_images = with_images
+        self.log_fn = log_fn or (lambda d, **kw: None)
+        self.model = model if model is not None else build_model(
+            config, self.train_data)
+
+        self.steps_per_epoch = max(
+            len(self.train_data) // config.batch_size, 1)
+        self.state = self._init_state()
+        self.train_step = make_train_step(self.model, config)
+        self.start_epoch = 0
+        self.global_iter = 0
+
+        if config.save_dir:
+            os.makedirs(config.save_dir, exist_ok=True)
+            self.state, last = ckpt.restore_checkpoint(config.save_dir,
+                                                       self.state)
+            if last >= 0:
+                self.start_epoch = last + 1
+                self.global_iter = int(self.state.step)
+                print(f"resumed from epoch {last}")
+
+    def _init_state(self) -> TrainState:
+        cfg = self.config
+        loader = BatchLoader(self.train_data, batch_size=min(
+            cfg.batch_size, max(len(self.train_data), 1)),
+            max_nodes=cfg.max_nodes, max_edges=cfg.max_edges,
+            with_images=self.with_images, shuffle=False)
+        batch = next(iter(loader))
+        sampled, pm = sample_edges(jax.random.key(0), batch.rels,
+                                   batch.rel_mask, batch.node_mask,
+                                   max_out=cfg.max_edges)
+        variables = self.model.init(
+            jax.random.key(cfg.seed), batch.images, batch.boxes,
+            batch.classes, sampled[..., :2], pm, train=False)
+        return create_train_state(self.config, variables,
+                                  steps_per_epoch=self.steps_per_epoch)
+
+    @property
+    def variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        """One epoch (reference train_epoch, main.py:196-236)."""
+        cfg = self.config
+        loader = BatchLoader(self.train_data, batch_size=cfg.batch_size,
+                             max_nodes=cfg.max_nodes,
+                             max_edges=cfg.max_edges, seed=cfg.seed,
+                             num_workers=cfg.num_workers,
+                             with_images=self.with_images)
+        loader._epoch = epoch
+        accum = defaultdict(list)
+        epoch_means = defaultdict(list)
+        t0 = time.time()
+        key = jax.random.key(cfg.seed * 100003 + epoch)
+        for b_i, batch in enumerate(loader):
+            key, sub = jax.random.split(key)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            self.global_iter += 1
+            for k, v in metrics.items():
+                accum[k].append(v)
+            if (b_i + 1) % cfg.print_interval == 0:
+                # force host sync once per interval, not per step
+                means = {k: float(np.mean([float(x) for x in v]))
+                         for k, v in accum.items()}
+                for k, v in means.items():
+                    epoch_means[k].append(v)
+                dt = (time.time() - t0) / cfg.print_interval
+                print(f"e{epoch} b{b_i + 1} "
+                      + " ".join(f"{k}={v:.4f}" for k, v in means.items())
+                      + f" {dt:.3f}s/batch")
+                self.log_fn({f"loss/{k}": v for k, v in means.items()},
+                            step=self.global_iter)
+                accum.clear()
+                t0 = time.time()
+        if accum:
+            for k, v in accum.items():
+                epoch_means[k].append(float(np.mean([float(x) for x in v])))
+        return {k: float(np.mean(v)) for k, v in epoch_means.items()}
+
+    # ------------------------------------------------------------------
+    def evaluate(self, split_names, n_batches: int = -1,
+                 verbose: bool = True) -> Dict[str, float]:
+        results = {}
+        for name in split_names:
+            ds = self.splits.get(name)
+            if ds is None or len(ds) == 0:
+                continue
+            results.update(val_epoch(
+                self.model, self.variables, ds, self.config, name,
+                train=self.train_data, n_batches=n_batches,
+                with_images=self.with_images, verbose=verbose,
+                log_fn=lambda d: self.log_fn(d, step=self.global_iter)))
+        return results
+
+    # ------------------------------------------------------------------
+    def fit(self, val_names=("val_zs", "val_alls"),
+            test_names=("test_zs", "test_10s", "test_100s", "test_alls"),
+            val_batches: int = -1) -> Dict[str, float]:
+        """Full run: epochs + per-epoch val + final test (main.py:244-288)."""
+        cfg = self.config
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            losses = self.train_epoch(epoch)
+            print(f"epoch {epoch}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
+            if cfg.save_dir:
+                ckpt.save_checkpoint(cfg.save_dir, self.state, epoch)
+            if cfg.val_size != 0:
+                self.evaluate(val_names, n_batches=val_batches,
+                              verbose=False)
+        results = {}
+        if not cfg.notest:
+            results = self.evaluate(test_names)
+            if cfg.save_dir and results:
+                with open(os.path.join(cfg.save_dir, "test_results.json"),
+                          "w") as f:
+                    json.dump({k: v for k, v in results.items()
+                               if not k.startswith("_")}, f, indent=2)
+        return results

@@ -139,7 +139,7 @@ class RelModelIMP(nn.Module):
     @nn.compact
     def __call__(self, images, boxes, classes, pairs, pair_mask, *,
                  fmap=None, train: bool = False,
-                 mode: Optional[str] = None):
+                 mode: Optional[str] = None, return_feats: bool = False):
         """Forward pass over a padded batch.
 
         Args:
@@ -170,8 +170,10 @@ class RelModelIMP(nn.Module):
         node_pool = roi_align(fmap, boxes, spatial_scale=1.0 / self.stride,
                               pooled=self.pool_size)
         uboxes = union_boxes(boxes, pairs[..., 0], pairs[..., 1])
-        union_pool = roi_align(fmap, uboxes, spatial_scale=1.0 / self.stride,
-                               pooled=self.pool_size)
+        union_pool_raw = roi_align(fmap, uboxes,
+                                   spatial_scale=1.0 / self.stride,
+                                   pooled=self.pool_size)
+        union_pool = union_pool_raw
 
         # add rasterized box-pair conv features (get_union_boxes.py:99-101)
         b_s = jnp.take_along_axis(boxes, pairs[..., 0:1].repeat(4, -1), 1)
@@ -214,9 +216,17 @@ class RelModelIMP(nn.Module):
                                  name="freq_bias")(subj_cls, obj_cls)
             rel_logits = freq if self.test_bias else rel_logits + freq
 
-        return {
+        out = {
             "obj_logits": obj_logits,
             "rel_logits": rel_logits,
             "obj_preds": obj_preds,
             "obj_scores": obj_scores,
         }
+        if return_feats:
+            # raw RoIAlign pools — the "real" features the GAN
+            # discriminators judge (reference node_edge_features outputs,
+            # main.py:184-190)
+            out["fmap"] = fmap
+            out["node_pool"] = node_pool
+            out["edge_pool"] = union_pool_raw
+        return out

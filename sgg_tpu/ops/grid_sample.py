@@ -1,0 +1,74 @@
+"""Bilinear grid sampling (torch ``F.grid_sample`` semantics, NHWC).
+
+TPU-native equivalent of the ATen ``grid_sample`` used by the reference's
+layout composition (``/root/reference/augment/layout.py:61,96``) and the
+``raw_boxes`` edge-model rasterizer (``lib/get_union_boxes.py:114``):
+normalized ``[-1, 1]`` sample grids, ``align_corners=False`` coordinate
+mapping, zero padding outside the input. Implemented as a 4-tap gather — a
+vectorized XLA op, no scalar loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` at normalized grid locations.
+
+    Args:
+      img: (..., H_in, W_in, C).
+      grid: (..., H_out, W_out, 2) with ``grid[..., 0] = x``,
+        ``grid[..., 1] = y`` in [-1, 1] (torch convention).
+
+    Returns:
+      (..., H_out, W_out, C); out-of-range samples are zero.
+    """
+    H_in, W_in = img.shape[-3], img.shape[-2]
+    # align_corners=False: -1 maps to -0.5, +1 to size-0.5
+    x = (grid[..., 0] + 1.0) * (W_in / 2.0) - 0.5
+    y = (grid[..., 1] + 1.0) * (H_in / 2.0) - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    C = img.shape[-1]
+    flat = img.reshape(*img.shape[:-3], H_in * W_in, C)
+
+    def tap(yi, xi, w):
+        valid = (yi >= 0) & (yi < H_in) & (xi >= 0) & (xi < W_in)
+        yc = jnp.clip(yi, 0, H_in - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W_in - 1).astype(jnp.int32)
+        idx = (yc * W_in + xc).reshape(*yc.shape[:-2], -1)  # (..., HoWo)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=-2)
+        vals = vals.reshape(*yc.shape, C)
+        return vals * (w * valid)[..., None]
+
+    out = (tap(y0, x0, (1 - wy) * (1 - wx))
+           + tap(y0, x0 + 1, (1 - wy) * wx)
+           + tap(y0 + 1, x0, wy * (1 - wx))
+           + tap(y0 + 1, x0 + 1, wy * wx))
+    return out.astype(img.dtype)
+
+
+def boxes01_to_grid(boxes: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Sampling grid that warps a unit feature into its box location.
+
+    ``boxes``: (..., 4) in [0, 1] space. Output (..., H, W, 2) such that
+    ``grid_sample_2d(feat, grid)`` paints ``feat`` into the box on an HxW
+    canvas (reference ``_boxes_to_grid``, augment/layout.py:102-136).
+    """
+    x0 = boxes[..., 0:1, None]
+    y0 = boxes[..., 1:2, None]
+    ww = boxes[..., 2:3, None] - x0
+    hh = boxes[..., 3:4, None] - y0
+    ww = jnp.where(ww != 0, ww, 1e-6)
+    hh = jnp.where(hh != 0, hh, 1e-6)
+    X = jnp.linspace(0.0, 1.0, W).reshape(1, W)
+    Y = jnp.linspace(0.0, 1.0, H).reshape(H, 1)
+    gx = (X - x0) / ww  # (..., H|1, W)
+    gy = (Y - y0) / hh
+    gx, gy = jnp.broadcast_arrays(gx, gy)
+    return jnp.stack([gx * 2 - 1, gy * 2 - 1], axis=-1)

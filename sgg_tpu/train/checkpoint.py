@@ -34,12 +34,32 @@ def _manager(save_dir: str):
                                              create=True))
 
 
+def save_payload(save_dir: str, payload: Dict[str, Any], epoch: int) -> None:
+    """Save an arbitrary pytree payload under the epoch step."""
+    import orbax.checkpoint as ocp
+    mgr = _manager(save_dir)
+    mgr.save(epoch, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+
+
+def restore_payload(save_dir: str, template: Dict[str, Any],
+                    epoch: Optional[int] = None):
+    """Restore a payload into a template; returns (payload, epoch) with
+    epoch=-1 when nothing exists."""
+    import orbax.checkpoint as ocp
+    mgr = _manager(save_dir)
+    if epoch is None:
+        epoch = mgr.latest_step()
+        if epoch is None:
+            return template, -1
+    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+    return restored, int(epoch)
+
+
 def save_checkpoint(save_dir: str, state: TrainState, epoch: int,
                     extra: Optional[Dict[str, Any]] = None) -> None:
     """Save the train state (reference save_checkpoint,
     pytorch_misc.py:217-233)."""
-    import orbax.checkpoint as ocp
-    mgr = _manager(save_dir)
     payload = {
         "step": state.step,
         "params": state.params,
@@ -49,8 +69,7 @@ def save_checkpoint(save_dir: str, state: TrainState, epoch: int,
     }
     if extra:
         payload["extra"] = extra
-    mgr.save(epoch, args=ocp.args.StandardSave(payload))
-    mgr.wait_until_finished()
+    save_payload(save_dir, payload, epoch)
 
 
 def latest_epoch(save_dir: str) -> Optional[int]:

@@ -59,7 +59,7 @@ class Trainer:
 
     def __init__(self, config: Config, splits: Dict[str, SGGDataset],
                  model: Optional[RelModelIMP] = None,
-                 with_images: bool = True, log_fn=None):
+                 gan_model=None, with_images: bool = True, log_fn=None):
         self.config = config
         self.splits = splits
         self.train_data = splits["train"]
@@ -75,14 +75,112 @@ class Trainer:
         self.start_epoch = 0
         self.global_iter = 0
 
+        self.gan = None
+        self.gan_state = None
+        self.perturber = None
+        self.feature_bank = None
+        if config.gan:
+            self._init_gan(gan_model)
+
         if config.save_dir:
             os.makedirs(config.save_dir, exist_ok=True)
-            self.state, last = ckpt.restore_checkpoint(config.save_dir,
-                                                       self.state)
-            if last >= 0:
-                self.start_epoch = last + 1
-                self.global_iter = int(self.state.step)
-                print(f"resumed from epoch {last}")
+            self._restore()
+
+    # ------------------------------------------------------------------
+    def _init_gan(self, gan_model):
+        """GAN assembly (reference main.py:65-76, sgp at :131)."""
+        from sgg_tpu.constants import IM_SCALE, STRIDE
+        from sgg_tpu.models.gan import GANModel
+        from sgg_tpu.ops.boxes import scale_boxes_01
+        from sgg_tpu.train.assign import sample_edges as _se
+        from sgg_tpu.train.gan_step import (create_gan_state,
+                                            make_gan_train_step)
+
+        cfg = self.config
+        td = self.train_data
+        if gan_model is None:
+            gan_model = GANModel(
+                num_classes=td.num_classes,
+                num_predicates=td.num_predicates,
+                fmap_sz=IM_SCALE // STRIDE,
+                vis_cond=cfg.vis_cond is not None, largeD=cfg.largeD)
+        self.gan = gan_model
+
+        loader = BatchLoader(td, batch_size=min(cfg.batch_size,
+                                                max(len(td), 1)),
+                             max_nodes=cfg.max_nodes,
+                             max_edges=cfg.max_edges,
+                             with_images=self.with_images, shuffle=False)
+        batch = next(iter(loader))
+        boxes01 = scale_boxes_01(batch.boxes, batch.im_hw)
+        vis = None
+        if cfg.vis_cond is not None:
+            from sgg_tpu.augment.feature_bank import FeatureBank
+            self.feature_bank = FeatureBank(cfg.vis_cond, td.ind_to_classes,
+                                            pool_sz=self.gan.pool_sz,
+                                            n_ch=self.gan.n_ch,
+                                            seed=cfg.seed)
+            vis = jnp.asarray(self.feature_bank.sample(
+                np.asarray(batch.classes), np.asarray(batch.node_mask)))
+        gan_vars = self.gan.init(
+            jax.random.key(cfg.seed + 1), batch.classes, boxes01,
+            batch.rels, batch.node_mask, batch.rel_mask,
+            vis_features=vis, train=False, method=self.gan.init_all)
+        self.gan_state = create_gan_state(cfg, self.state, gan_vars)
+        self.gan_step = make_gan_train_step(self.model, self.gan, cfg)
+
+        if cfg.perturb:
+            from sgg_tpu.augment.perturb import SceneGraphPerturb
+            from sgg_tpu.data.word_vectors import \
+                normalized_class_embeddings
+            emb = normalized_class_embeddings(td.ind_to_classes,
+                                              wv_dir=cfg.data)
+            self.perturber = SceneGraphPerturb(
+                cfg.perturb, emb, td.subj_pred_pairs, td.pred_obj_pairs,
+                L=cfg.L, topk=cfg.topk, alpha=cfg.graphn_a,
+                uniform=cfg.uniform,
+                degree_smoothing=cfg.degree_smoothing, seed=cfg.seed)
+
+    # ------------------------------------------------------------------
+    def _payload(self, epoch: int):
+        payload = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "epoch": np.asarray(epoch),
+        }
+        if self.gan_state is not None:
+            payload["gan"] = {
+                "params": self.gan_state.gan_params,
+                "stats": self.gan_state.gan_stats,
+                "g_opt": self.gan_state.g_opt_state,
+                "d_opt": self.gan_state.d_opt_state,
+            }
+        return payload
+
+    def _save(self, epoch: int):
+        if self.gan_state is not None:
+            self.state = self.gan_state.sgg
+        ckpt.save_payload(self.config.save_dir, self._payload(epoch), epoch)
+
+    def _restore(self):
+        restored, last = ckpt.restore_payload(self.config.save_dir,
+                                              self._payload(0))
+        if last < 0:
+            return
+        self.state = self.state.replace(
+            step=restored["step"], params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"])
+        if self.gan_state is not None and "gan" in restored:
+            g = restored["gan"]
+            self.gan_state = self.gan_state.replace(
+                sgg=self.state, gan_params=g["params"], gan_stats=g["stats"],
+                g_opt_state=g["g_opt"], d_opt_state=g["d_opt"])
+        self.start_epoch = last + 1
+        self.global_iter = int(self.state.step)
+        print(f"resumed from epoch {last}")
 
     def _init_state(self) -> TrainState:
         cfg = self.config
@@ -121,7 +219,22 @@ class Trainer:
         key = jax.random.key(cfg.seed * 100003 + epoch)
         for b_i, batch in enumerate(loader):
             key, sub = jax.random.split(key)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+            if self.gan_state is not None:
+                fake = batch.classes
+                if self.perturber is not None:
+                    fake = jnp.asarray(self.perturber.perturb_batch(
+                        np.asarray(batch.classes), np.asarray(batch.rels),
+                        np.asarray(batch.node_mask),
+                        np.asarray(batch.rel_mask)))
+                vis = None
+                if self.feature_bank is not None:
+                    vis = jnp.asarray(self.feature_bank.sample(
+                        np.asarray(fake), np.asarray(batch.node_mask)))
+                self.gan_state, metrics = self.gan_step(
+                    self.gan_state, batch, fake, vis, sub)
+                self.state = self.gan_state.sgg
+            else:
+                self.state, metrics = self.train_step(self.state, batch, sub)
             self.global_iter += 1
             for k, v in metrics.items():
                 accum[k].append(v)
@@ -170,7 +283,7 @@ class Trainer:
             print(f"epoch {epoch}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
             if cfg.save_dir:
-                ckpt.save_checkpoint(cfg.save_dir, self.state, epoch)
+                self._save(epoch)
             if cfg.val_size != 0:
                 self.evaluate(val_names, n_batches=val_batches,
                               verbose=False)

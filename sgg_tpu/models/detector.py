@@ -1,0 +1,302 @@
+"""Faster R-CNN detector (VGG16 trunk, single-scale anchors) — jit-native.
+
+Rebuild of the torchvision ``FasterRCNN`` assembly the reference wraps
+(``/root/reference/sgg_models/rel_model_base.py:83-117``): VGG16 stride-16
+features, single-level anchors (sizes 32–512, ratios 0.5/1/2), an RPN with
+3x3 conv head, RoIAlign 7x7 + TwoMLPHead 4096-d box head, class-specific box
+regression, score threshold 0.2 and 50 detections per image.
+
+TPU-native design: everything is fixed-shape — proposal generation keeps a
+static top-k before and after the masked-loop NMS (``sgg_tpu.ops.nms``);
+detections are padded ``(B, D)`` sets with validity masks; training target
+assignment and sampling are vectorized masked ops inside jit (torchvision
+does all of this in C++/Python with dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sgg_tpu.constants import POOL_SIZE, STRIDE, VGG_OBJ_DIM
+from sgg_tpu.models.backbone import RoiHead, VGG16Trunk
+from sgg_tpu.ops.boxes import box_iou, clip_boxes
+from sgg_tpu.ops.nms import decode_boxes, encode_boxes, nms
+from sgg_tpu.ops.roi_align import roi_align
+
+ANCHOR_SIZES = (32, 64, 128, 256, 512)  # rel_model_base.py:94
+ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+ROI_WEIGHTS = (10.0, 10.0, 5.0, 5.0)  # torchvision roi-head box coder
+
+
+def make_anchors(fh: int, fw: int, stride: int = STRIDE,
+                 sizes=ANCHOR_SIZES, ratios=ANCHOR_RATIOS) -> np.ndarray:
+    """(fh*fw*A, 4) anchors, torchvision AnchorGenerator semantics
+    (zero-centered cell anchors shifted by stride)."""
+    cell = []
+    for size in sizes:
+        area = float(size) ** 2
+        for r in ratios:
+            h = np.sqrt(area / r)
+            w = r * h
+            cell.append([-w / 2, -h / 2, w / 2, h / 2])
+    cell = np.asarray(cell, np.float32)  # (A, 4)
+    ys = (np.arange(fh, dtype=np.float32)) * stride
+    xs = (np.arange(fw, dtype=np.float32)) * stride
+    shift_x, shift_y = np.meshgrid(xs, ys)
+    shifts = np.stack([shift_x, shift_y, shift_x, shift_y],
+                      axis=-1).reshape(-1, 1, 4)
+    return (shifts + cell[None]).reshape(-1, 4)
+
+
+class RPNHead(nn.Module):
+    """3x3 conv -> objectness + 4-delta per anchor (torchvision RPNHead)."""
+
+    num_anchors: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, fmap: jnp.ndarray):
+        t = nn.relu(nn.Conv(fmap.shape[-1], (3, 3), padding=1,
+                            dtype=self.dtype, name="conv")(fmap))
+        obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      name="cls_logits")(t)
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                         name="bbox_pred")(t)
+        B, H, W, _ = obj.shape
+        return (obj.reshape(B, H * W * self.num_anchors).astype(jnp.float32),
+                deltas.reshape(B, H * W * self.num_anchors,
+                               4).astype(jnp.float32))
+
+
+def generate_proposals(anchors, obj_logits, deltas, im_hw, *,
+                       pre_nms_top_n: int, post_nms_top_n: int,
+                       nms_thresh: float = 0.7, min_size: float = 1e-3):
+    """Per-batch proposal generation (torchvision RPN filter_proposals).
+
+    anchors (K, 4); obj_logits (B, K); deltas (B, K, 4); im_hw (B, 2).
+    Returns (proposals (B, P, 4), scores (B, P), mask (B, P)).
+    """
+    boxes = decode_boxes(anchors[None], deltas)
+    boxes = clip_boxes(boxes, im_hw)
+
+    def one(b, s, hw):
+        ws = b[:, 2] - b[:, 0]
+        hs = b[:, 3] - b[:, 1]
+        valid = (ws > min_size) & (hs > min_size)
+        k = min(pre_nms_top_n, s.shape[0])
+        top_s, top_i = jax.lax.top_k(jnp.where(valid, s, -jnp.inf), k)
+        idx, mask = nms(b[top_i], top_s, top_s > -jnp.inf, nms_thresh,
+                        post_nms_top_n)
+        return b[top_i][idx], top_s[idx], mask
+
+    return jax.vmap(one)(boxes, obj_logits, im_hw)
+
+
+def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
+                           im_hw, *, score_thresh: float, nms_thresh: float,
+                           detections_per_img: int):
+    """torchvision RoIHeads.postprocess_detections, fixed shapes.
+
+    class_logits (B, P, C); box_deltas (B, P, C*4); proposals (B, P, 4).
+    Returns dict with boxes (B, D, 4), labels (B, D), scores (B, D),
+    mask (B, D).
+    """
+    B, P, C = class_logits.shape
+    D = detections_per_img
+    scores = jax.nn.softmax(class_logits, axis=-1)
+    boxes_all = decode_boxes(proposals[:, :, None, :],
+                             box_deltas.reshape(B, P, C, 4),
+                             weights=ROI_WEIGHTS)
+    boxes_all = clip_boxes(boxes_all.reshape(B, P * C, 4),
+                           im_hw).reshape(B, P, C, 4)
+
+    def one(boxes_pc, scores_pc, pmask, hw):
+        # drop background column; flatten (P, C-1)
+        b = boxes_pc[:, 1:].reshape(-1, 4)
+        s = scores_pc[:, 1:].reshape(-1)
+        lbl = jnp.tile(jnp.arange(1, C, dtype=jnp.int32)[None], (P, 1))
+        lbl = lbl.reshape(-1)
+        valid = s > score_thresh
+        valid &= jnp.repeat(pmask, C - 1)
+        # min box size (torchvision min_size=1e-2 after regression)
+        valid &= ((b[:, 2] - b[:, 0]) > 1e-2) & ((b[:, 3] - b[:, 1]) > 1e-2)
+        # per-class NMS via the coordinate-offset trick
+        offset = lbl.astype(jnp.float32)[:, None] * (
+            jnp.max(hw) + 1000.0)
+        idx, mask = nms(b + offset, s, valid, nms_thresh, D)
+        return b[idx], lbl[idx], s[idx], mask
+
+    boxes, labels, det_scores, mask = jax.vmap(one)(
+        boxes_all, scores, prop_mask, im_hw)
+    return {"boxes": boxes, "labels": labels, "scores": det_scores,
+            "mask": mask}
+
+
+class FasterRCNNVGG(nn.Module):
+    """Single-scale VGG16 Faster R-CNN with padded outputs."""
+
+    num_classes: int
+    pool_size: int = POOL_SIZE
+    stride: int = STRIDE
+    obj_dim: int = VGG_OBJ_DIM
+    score_thresh: float = 0.2   # rel_model_base.py:108
+    nms_thresh: float = 0.5
+    detections_per_img: int = 50  # rel_model_base.py:107
+    rpn_pre_nms_top_n: int = 1000
+    rpn_post_nms_top_n: int = 512
+    rpn_nms_thresh: float = 0.7
+    dtype: Any = jnp.bfloat16
+
+    def features(self, images):
+        return VGG16Trunk(dtype=self.dtype, name="trunk")(images)
+
+    @nn.compact
+    def __call__(self, images, im_hw, *, fmap=None, train: bool = False,
+                 score_thresh: Optional[float] = None):
+        if fmap is None:
+            fmap = self.features(images)
+        B, fh, fw, _ = fmap.shape
+        A = len(ANCHOR_SIZES) * len(ANCHOR_RATIOS)
+        anchors = jnp.asarray(make_anchors(fh, fw, self.stride))
+
+        obj_logits, rpn_deltas = RPNHead(num_anchors=A, dtype=self.dtype,
+                                         name="rpn")(fmap)
+        proposals, prop_scores, prop_mask = generate_proposals(
+            anchors, obj_logits, rpn_deltas, im_hw,
+            pre_nms_top_n=self.rpn_pre_nms_top_n,
+            post_nms_top_n=self.rpn_post_nms_top_n,
+            nms_thresh=self.rpn_nms_thresh)
+
+        pooled = roi_align(fmap, proposals,
+                           spatial_scale=1.0 / self.stride,
+                           pooled=self.pool_size)
+        feats = RoiHead(out_dim=self.obj_dim, with_final_relu=True,
+                        dtype=self.dtype, name="box_head")(pooled,
+                                                           train=train)
+        class_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                name="cls_score")(
+            feats.astype(jnp.float32))
+        box_deltas = nn.Dense(self.num_classes * 4, dtype=jnp.float32,
+                              name="bbox_pred")(feats.astype(jnp.float32))
+
+        dets = postprocess_detections(
+            class_logits, box_deltas, proposals, prop_mask, im_hw,
+            score_thresh=(self.score_thresh if score_thresh is None
+                          else score_thresh),
+            nms_thresh=self.nms_thresh,
+            detections_per_img=self.detections_per_img)
+        dets.update({
+            "fmap": fmap, "proposals": proposals, "prop_mask": prop_mask,
+            "rpn_obj_logits": obj_logits, "rpn_deltas": rpn_deltas,
+            "class_logits": class_logits, "box_deltas": box_deltas,
+            "anchors": anchors,
+        })
+        return dets
+
+
+# ---------------------------------------------------------------------------
+# training target assignment + losses (torchvision RPN/RoIHeads semantics)
+
+def _smooth_l1(x, beta: float = 1.0 / 9):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * x * x / beta, ax - 0.5 * beta)
+
+
+def assign_targets(anchors, gt_boxes, gt_mask, hi: float, lo: float,
+                   allow_low_quality: bool = True):
+    """torchvision Matcher: label 1 if IoU>=hi, 0 if <lo, -1 between; every
+    GT's best anchor forced positive. Returns (labels (K,), matched (K,))."""
+    iou = box_iou(anchors, gt_boxes)
+    iou = jnp.where(gt_mask[None, :], iou, -1.0)
+    best = iou.max(axis=1)
+    matched = iou.argmax(axis=1)
+    labels = jnp.where(best >= hi, 1, jnp.where(best < lo, 0, -1))
+    if allow_low_quality:
+        gt_best = jnp.where(gt_mask, iou.max(axis=0), -2.0)
+        force = (iou == gt_best[None, :]) & gt_mask[None, :] & (iou > 0)
+        labels = jnp.where(force.any(axis=1), 1, labels)
+    return labels, matched
+
+
+def _sample_balanced(key, labels, num: int, pos_fraction: float):
+    """torchvision BalancedPositiveNegativeSampler: random subsets of
+    positives/negatives with fixed totals. Returns (pos_mask, neg_mask)."""
+    k_p, k_n = jax.random.split(key)
+    n_pos_target = int(num * pos_fraction)
+    is_pos = labels == 1
+    is_neg = labels == 0
+    u_p = jnp.where(is_pos, jax.random.uniform(k_p, labels.shape), 2.0)
+    rank_p = jnp.argsort(jnp.argsort(u_p))
+    n_pos = jnp.minimum(is_pos.sum(), n_pos_target)
+    pos = is_pos & (rank_p < n_pos)
+    u_n = jnp.where(is_neg, jax.random.uniform(k_n, labels.shape), 2.0)
+    rank_n = jnp.argsort(jnp.argsort(u_n))
+    n_neg = jnp.minimum(is_neg.sum(), num - n_pos)
+    neg = is_neg & (rank_n < n_neg)
+    return pos, neg
+
+
+def rpn_losses(key, anchors, obj_logits, rpn_deltas, gt_boxes, gt_mask,
+               batch_per_image: int = 256, pos_fraction: float = 0.5):
+    """RPN objectness BCE + box smooth-L1 (torchvision compute_loss)."""
+    import optax
+
+    def one(key, obj, deltas, gtb, gtm):
+        labels, matched = assign_targets(anchors, gtb, gtm, 0.7, 0.3)
+        pos, neg = _sample_balanced(key, labels, batch_per_image,
+                                    pos_fraction)
+        sel = pos | neg
+        tgt = encode_boxes(anchors, gtb[matched])
+        box_l = jnp.where(pos, _smooth_l1(deltas - tgt).sum(-1), 0.0).sum()
+        obj_l = jnp.where(
+            sel, optax.sigmoid_binary_cross_entropy(
+                obj, (labels == 1).astype(jnp.float32)), 0.0).sum()
+        denom = jnp.maximum(sel.sum(), 1.0)
+        return box_l / denom, obj_l / denom
+
+    keys = jax.random.split(key, obj_logits.shape[0])
+    box_l, obj_l = jax.vmap(one)(keys, obj_logits, rpn_deltas, gt_boxes,
+                                 gt_mask)
+    return {"loss_rpn_box_reg": box_l.mean(),
+            "loss_objectness": obj_l.mean()}
+
+
+def roi_head_losses(key, proposals, prop_mask, class_logits, box_deltas,
+                    gt_boxes, gt_classes, gt_mask,
+                    batch_per_image: int = 512, pos_fraction: float = 0.25):
+    """RoI-head CE + class-specific box smooth-L1 (torchvision
+    fastrcnn_loss). Note: proposals here are post-RPN (fixed P); torchvision
+    also appends GT boxes to proposals during training — do that in the
+    caller by overwriting trailing proposal slots."""
+    import optax
+    C = class_logits.shape[-1]
+
+    def one(key, props, pmask, cls_lg, box_d, gtb, gtc, gtm):
+        labels, matched = assign_targets(props, gtb, gtm, 0.5, 0.5,
+                                         allow_low_quality=False)
+        labels = jnp.where(pmask, labels, -1)
+        pos, neg = _sample_balanced(key, labels, batch_per_image,
+                                    pos_fraction)
+        sel = pos | neg
+        cls_target = jnp.where(pos, gtc[matched], 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(cls_lg,
+                                                             cls_target)
+        ce = jnp.where(sel, ce, 0.0).sum() / jnp.maximum(sel.sum(), 1.0)
+        tgt = encode_boxes(props, gtb[matched], weights=ROI_WEIGHTS)
+        box_d = box_d.reshape(-1, C, 4)
+        per_cls = jnp.take_along_axis(
+            box_d, cls_target[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        box_l = jnp.where(pos, _smooth_l1(per_cls - tgt).sum(-1), 0.0)
+        box_l = box_l.sum() / jnp.maximum(sel.sum(), 1.0)
+        return ce, box_l
+
+    keys = jax.random.split(key, class_logits.shape[0])
+    ce, box_l = jax.vmap(one)(keys, proposals, prop_mask, class_logits,
+                              box_deltas, gt_boxes, gt_classes, gt_mask)
+    return {"loss_classifier": ce.mean(), "loss_box_reg": box_l.mean()}

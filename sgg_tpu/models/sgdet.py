@@ -1,0 +1,149 @@
+"""SGDet: end-to-end scene-graph detection (detector → relation head).
+
+Rebuild of the reference's sgdet path (``/root/reference/sgg_models/
+rel_model_base.py:209-242`` detector branch + ``rel_model_stanford.py``):
+the frozen Faster R-CNN produces up to 50 detections per image; candidate
+relation pairs are all ordered detection pairs, optionally constrained to
+overlapping boxes (``require_overlap``, rel_model_base.py:152-154); training
+relation targets come from ``rel_assignments``; the IMP relation head then
+classifies objects and predicates exactly as in SGCls, sharing the
+detector's feature map.
+
+TPU-native design: detections are padded (B, D) sets; the whole
+detector→sampler→rel-head→losses→update chain is ONE jitted program per
+step (the reference crosses to numpy for rel_assignments each step).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sgg_tpu.config import Config
+from sgg_tpu.data.graph_batch import GraphBatch
+from sgg_tpu.ops.boxes import box_iou
+from sgg_tpu.train.assign import all_pairs
+from sgg_tpu.train.losses import edge_losses, node_losses
+from sgg_tpu.train.rel_assign import rel_assignments
+from sgg_tpu.train.state import TrainState
+
+
+def detection_pairs(det_boxes, det_mask, require_overlap: bool):
+    """Candidate pairs over detections (rel_model_base.py:148-163)."""
+    pairs, pair_mask = all_pairs(det_mask)
+    if require_overlap:
+        iou = box_iou(det_boxes, det_boxes)
+        ov = jnp.take_along_axis(
+            jnp.take_along_axis(iou, pairs[..., 0:1], 1), pairs[..., 1:2],
+            2)[..., 0]
+        overlap_mask = pair_mask & (ov > 0)
+        # fall back to all pairs when nothing overlaps (degenerate images)
+        any_overlap = overlap_mask.any(axis=1, keepdims=True)
+        pair_mask = jnp.where(any_overlap, overlap_mask, pair_mask)
+    return pairs, pair_mask
+
+
+def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
+                         require_overlap: bool = True):
+    """Jitted ``eval_step((det_vars, rel_vars), batch) -> outputs`` with
+    detection boxes/classes/scores plus relation outputs."""
+
+    def eval_step(variables, batch: GraphBatch):
+        det_vars, rel_vars = variables
+        det = detector.apply(det_vars, batch.images, batch.im_hw,
+                             train=False, score_thresh=score_thresh)
+        boxes, labels, mask = det["boxes"], det["labels"], det["mask"]
+        pairs, pair_mask = detection_pairs(boxes, mask, require_overlap)
+        out = relmodel.apply(rel_vars, None, boxes, labels, pairs,
+                             pair_mask, fmap=det["fmap"], train=False,
+                             mode="sgdet")
+        out.update({
+            "det_boxes": boxes, "det_labels": labels,
+            "det_scores": det["scores"], "det_mask": mask,
+            "pairs": pairs, "pair_mask": pair_mask,
+            "rel_dists": jax.nn.softmax(out["rel_logits"], axis=-1),
+            "n_det": mask.sum(axis=1),
+        })
+        return out
+
+    return jax.jit(eval_step)
+
+
+def make_sgdet_train_step(detector, relmodel, config: Config,
+                          det_variables, require_overlap: bool = True):
+    """Jitted sgdet training step: frozen detector → rel_assignments →
+    relation-head losses → SGD update of the relation head.
+
+    ``det_variables`` are closed over (frozen, main.py:62-63).
+    """
+    loss_weights = (config.alpha, config.beta, config.gamma)
+
+    def train_step(state: TrainState, batch: GraphBatch, key):
+        k_rel, k_drop = jax.random.split(key)
+        det = detector.apply(det_variables, batch.images, batch.im_hw,
+                             train=False)
+        det = jax.lax.stop_gradient(det)
+        boxes, labels, mask = det["boxes"], det["labels"], det["mask"]
+
+        rels, rel_mask = rel_assignments(
+            k_rel, boxes, labels, mask, batch.boxes, batch.classes,
+            batch.rels, batch.rel_mask,
+            filter_non_overlap=require_overlap)
+        pairs, rel_labels = rels[..., :2], rels[..., 2]
+
+        # object targets for detections: class of the best-IoU GT
+        # (class supervision on matched detections)
+        iou = box_iou(boxes, batch.boxes)
+        iou = jnp.where(batch.node_mask[:, None, :], iou, -1.0)
+        best = iou.max(axis=2)
+        matched = iou.argmax(axis=2)
+        obj_targets = jnp.where(
+            best >= 0.5,
+            jnp.take_along_axis(batch.classes, matched, 1), 0)
+
+        def loss_fn(params):
+            out, mutated = relmodel.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                None, boxes, labels, pairs, rel_mask, fmap=det["fmap"],
+                train=True, rngs={"dropout": k_drop},
+                mutable=["batch_stats"], mode="sgdet")
+            losses = {}
+            losses.update(node_losses(out["obj_logits"], obj_targets, mask))
+            losses.update(edge_losses(out["rel_logits"], rel_labels,
+                                      rel_mask, config.loss, loss_weights))
+            total = sum(jnp.asarray(v) for v in losses.values())
+            return total, (losses, mutated)
+
+        (total, (losses, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mutated["batch_stats"])
+        metrics = dict(losses)
+        metrics["total"] = total
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
+                          thresholds=(0.2, 0.05, 0.01),
+                          require_overlap: bool = True,
+                          _cache: Optional[dict] = None):
+    """Box-threshold retry loop (reference lib/eval.py:125-133,227-228):
+    rerun detection at lower score thresholds for batches where any image
+    has fewer than two detections. Returns the eval outputs of the first
+    threshold where every image has >= 2 detections (or the last)."""
+    cache = _cache if _cache is not None else {}
+    out = None
+    for t in thresholds:
+        if t not in cache:
+            cache[t] = make_sgdet_eval_step(detector, relmodel,
+                                            score_thresh=t,
+                                            require_overlap=require_overlap)
+        out = cache[t](variables, batch)
+        import numpy as np
+        if int(np.asarray(out["n_det"]).min()) >= 2:
+            return out
+    return out

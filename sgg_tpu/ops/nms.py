@@ -1,0 +1,103 @@
+"""Fixed-shape NMS and box-delta coding (jit-safe).
+
+TPU-native equivalents of the C++/CUDA detection ops torchvision hides inside
+``rpn``/``roi_heads`` (invoked by the reference at
+``/root/reference/sgg_models/rel_model_base.py:210-211``): greedy NMS as a
+masked ``fori_loop`` over score-sorted boxes (static shapes, no data-
+dependent sizes), and the Faster R-CNN box encode/decode transforms with
+torchvision's weights and clamping.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sgg_tpu.ops.boxes import box_iou
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+        iou_thresh: float, max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over one image's boxes.
+
+    Args:
+      boxes: (N, 4); scores: (N,); valid: (N,) bool.
+      iou_thresh: suppression threshold.
+      max_out: number of kept slots.
+
+    Returns (indices (max_out,) into the input, keep_mask (max_out,)).
+    Output order is by descending score (torchvision contract).
+    """
+    N = boxes.shape[0]
+    neg = jnp.finfo(scores.dtype).min
+    s = jnp.where(valid, scores, neg)
+    order = jnp.argsort(-s)
+    sb = boxes[order]
+    sv = s[order] > neg
+    iou = box_iou(sb, sb)
+    tri = jnp.triu(jnp.ones((N, N), bool), k=1)  # j suppressible by i<j
+
+    def body(i, suppressed):
+        keep_i = sv[i] & ~suppressed[i]
+        return suppressed | (keep_i & tri[i] & (iou[i] > iou_thresh))
+
+    suppressed = lax.fori_loop(0, N, body, jnp.zeros((N,), bool))
+    keep = sv & ~suppressed
+    # first max_out kept, in score order
+    kept_rank = jnp.cumsum(keep) - 1
+    out_mask = keep & (kept_rank < max_out)
+    # scatter sorted positions into output slots
+    slot = jnp.where(out_mask, kept_rank, max_out)
+    out_idx = jnp.zeros((max_out + 1,), jnp.int32).at[slot].set(
+        order.astype(jnp.int32))[:max_out]
+    out_valid = jnp.zeros((max_out + 1,), bool).at[slot].set(
+        out_mask)[:max_out]
+    return out_idx, out_valid
+
+
+def encode_boxes(ref: jnp.ndarray, gt: jnp.ndarray,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """Box -> regression targets (torchvision BoxCoder.encode)."""
+    wx, wy, ww, wh = weights
+    rw = ref[..., 2] - ref[..., 0]
+    rh = ref[..., 3] - ref[..., 1]
+    rx = ref[..., 0] + 0.5 * rw
+    ry = ref[..., 1] + 0.5 * rh
+    gw = gt[..., 2] - gt[..., 0]
+    gh = gt[..., 3] - gt[..., 1]
+    gx = gt[..., 0] + 0.5 * gw
+    gy = gt[..., 1] + 0.5 * gh
+    rw = jnp.maximum(rw, 1e-6)
+    rh = jnp.maximum(rh, 1e-6)
+    return jnp.stack([
+        wx * (gx - rx) / rw, wy * (gy - ry) / rh,
+        ww * jnp.log(jnp.maximum(gw, 1e-6) / rw),
+        wh * jnp.log(jnp.maximum(gh, 1e-6) / rh)], axis=-1)
+
+
+def decode_boxes(ref: jnp.ndarray, deltas: jnp.ndarray,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """Regression deltas -> boxes (torchvision BoxCoder.decode, with the
+    log-space clamp at log(1000/16))."""
+    wx, wy, ww, wh = weights
+    clamp = math.log(1000.0 / 16)
+    rw = ref[..., 2] - ref[..., 0]
+    rh = ref[..., 3] - ref[..., 1]
+    rx = ref[..., 0] + 0.5 * rw
+    ry = ref[..., 1] + 0.5 * rh
+    dx = deltas[..., 0] / wx
+    dy = deltas[..., 1] / wy
+    dw = jnp.clip(deltas[..., 2] / ww, None, clamp)
+    dh = jnp.clip(deltas[..., 3] / wh, None, clamp)
+    cx = dx * rw + rx
+    cy = dy * rh + ry
+    w = jnp.exp(dw) * rw
+    h = jnp.exp(dh) * rh
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w, cy + 0.5 * h], axis=-1)

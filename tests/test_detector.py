@@ -1,0 +1,161 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgg_tpu.models.detector import (FasterRCNNVGG, assign_targets,
+                                     make_anchors, rpn_losses,
+                                     roi_head_losses, generate_proposals,
+                                     _sample_balanced)
+from sgg_tpu.ops.nms import decode_boxes, encode_boxes, nms
+
+
+def _np_greedy_nms(boxes, scores, thresh):
+    """Independent numpy oracle (torchvision greedy NMS)."""
+    def iou(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    order = np.argsort(-scores)
+    keep = []
+    for i in order:
+        if all(iou(boxes[i], boxes[j]) <= thresh for j in keep):
+            keep.append(i)
+    return keep
+
+
+def test_nms_matches_greedy_oracle():
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n = 30
+        boxes = rng.rand(n, 4).astype(np.float32) * 50
+        boxes[:, 2:] += boxes[:, :2] + 5
+        scores = rng.rand(n).astype(np.float32)
+        idx, mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.ones(n, bool), 0.5, 20)
+        got = np.asarray(idx)[np.asarray(mask)]
+        want = _np_greedy_nms(boxes, scores, 0.5)[:20]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_nms_respects_validity_and_max_out():
+    boxes = np.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
+                       np.float32)
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    valid = np.asarray([False, True, True])
+    idx, mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                    jnp.asarray(valid), 0.5, 2)
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, [1, 2])  # box 0 invalid
+
+
+def test_box_coding_roundtrip():
+    rng = np.random.RandomState(1)
+    ref = rng.rand(12, 4).astype(np.float32) * 100
+    ref[:, 2:] += ref[:, :2] + 5
+    gt = rng.rand(12, 4).astype(np.float32) * 100
+    gt[:, 2:] += gt[:, :2] + 5
+    for w in [(1., 1., 1., 1.), (10., 10., 5., 5.)]:
+        deltas = encode_boxes(jnp.asarray(ref), jnp.asarray(gt), w)
+        back = decode_boxes(jnp.asarray(ref), deltas, w)
+        np.testing.assert_allclose(np.asarray(back), gt, atol=1e-3)
+
+
+def test_make_anchors_layout():
+    a = make_anchors(2, 3, stride=16)
+    assert a.shape == (2 * 3 * 15, 4)
+    # first cell anchors centered at (0, 0)
+    cell0 = a[:15]
+    np.testing.assert_allclose((cell0[:, 0] + cell0[:, 2]) / 2, 0, atol=1e-4)
+    # areas match size^2 per group of 3 ratios
+    areas = (cell0[:, 2] - cell0[:, 0]) * (cell0[:, 3] - cell0[:, 1])
+    np.testing.assert_allclose(areas.reshape(5, 3),
+                               np.asarray([[32**2] * 3, [64**2] * 3,
+                                           [128**2] * 3, [256**2] * 3,
+                                           [512**2] * 3]), rtol=1e-4)
+
+
+def test_assign_targets_matcher():
+    anchors = jnp.asarray([[0, 0, 10, 10], [0, 0, 9, 11], [50, 50, 60, 60],
+                           [100, 100, 110, 110]], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 10], [52, 52, 58, 58]], jnp.float32)
+    labels, matched = assign_targets(anchors, gt, jnp.ones(2, bool),
+                                     hi=0.7, lo=0.3)
+    labels = np.asarray(labels)
+    assert labels[0] == 1           # IoU 1.0
+    assert labels[3] == 0           # no overlap
+    assert labels[2] == 1           # best anchor for gt2 forced positive
+    assert np.asarray(matched)[0] == 0
+
+
+def test_sample_balanced_counts():
+    key = jax.random.key(0)
+    labels = jnp.asarray([1] * 5 + [0] * 50 + [-1] * 10)
+    pos, neg = _sample_balanced(key, labels, num=32, pos_fraction=0.25)
+    assert int(pos.sum()) == 5          # fewer positives than target
+    assert int(neg.sum()) == 32 - 5
+    assert not np.asarray(pos & neg).any()
+    assert not np.asarray(pos[5:]).any()
+
+
+def test_detector_forward_and_losses():
+    rng = np.random.RandomState(2)
+    B, S = 2, 128
+    det = FasterRCNNVGG(num_classes=7, rpn_pre_nms_top_n=64,
+                        rpn_post_nms_top_n=32, detections_per_img=10,
+                        obj_dim=64, dtype=jnp.float32, score_thresh=0.01)
+    images = jnp.asarray(rng.rand(B, S, S, 3), jnp.float32)
+    im_hw = jnp.full((B, 2), float(S))
+    variables = det.init(jax.random.key(0), images, im_hw, train=False)
+    out = det.apply(variables, images, im_hw, train=False)
+    assert out["boxes"].shape == (B, 10, 4)
+    assert out["labels"].shape == (B, 10)
+    assert out["scores"].shape == (B, 10)
+    assert out["proposals"].shape == (B, 32, 4)
+    for k in ("boxes", "scores"):
+        assert np.isfinite(np.asarray(out[k])).all()
+    # detected boxes lie inside the image
+    b = np.asarray(out["boxes"])[np.asarray(out["mask"])]
+    if len(b):
+        assert (b >= -1e-3).all() and (b <= S + 1e-3).all()
+    lb = np.asarray(out["labels"])[np.asarray(out["mask"])]
+    if len(lb):
+        assert (lb >= 1).all()
+
+    # losses are finite and nonzero
+    gt_boxes = jnp.asarray(rng.rand(B, 4, 4) * 60, jnp.float32)
+    gt_boxes = gt_boxes.at[..., 2:].set(gt_boxes[..., :2] + 20)
+    gt_classes = jnp.asarray(rng.randint(1, 7, (B, 4)))
+    gt_mask = jnp.ones((B, 4), bool)
+    rl = rpn_losses(jax.random.key(1), out["anchors"],
+                    out["rpn_obj_logits"], out["rpn_deltas"], gt_boxes,
+                    gt_mask)
+    hl = roi_head_losses(jax.random.key(2), out["proposals"],
+                         out["prop_mask"], out["class_logits"],
+                         out["box_deltas"], gt_boxes, gt_classes, gt_mask)
+    for d in (rl, hl):
+        for k, v in d.items():
+            assert np.isfinite(float(v)), (k, v)
+    assert float(rl["loss_objectness"]) > 0
+    assert float(hl["loss_classifier"]) > 0
+
+
+def test_generate_proposals_clip_and_shapes():
+    rng = np.random.RandomState(3)
+    K = 60
+    anchors = jnp.asarray(rng.rand(K, 4) * 80, jnp.float32)
+    anchors = anchors.at[:, 2:].set(anchors[:, :2] + 20)
+    logits = jnp.asarray(rng.randn(1, K), jnp.float32)
+    deltas = jnp.asarray(rng.randn(1, K, 4) * 0.1, jnp.float32)
+    im_hw = jnp.asarray([[50.0, 50.0]])
+    props, scores, mask = generate_proposals(
+        anchors, logits, deltas, im_hw, pre_nms_top_n=40,
+        post_nms_top_n=16, nms_thresh=0.7)
+    assert props.shape == (1, 16, 4)
+    p = np.asarray(props)[np.asarray(mask)]
+    assert (p >= 0).all() and (p <= 50).all()
+    s = np.asarray(scores)[np.asarray(mask)]
+    assert (np.diff(s) <= 1e-6).all()  # score-ordered

@@ -1,0 +1,142 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgg_tpu.config import Config
+from sgg_tpu.data import SyntheticSGGDataset
+from sgg_tpu.models.detector import FasterRCNNVGG
+from sgg_tpu.models.relhead import RelModelIMP
+from sgg_tpu.models.sgdet import (make_sgdet_eval_step,
+                                  make_sgdet_train_step,
+                                  sgdet_eval_with_retry)
+from sgg_tpu.train.rel_assign import rel_assignments
+from sgg_tpu.train.state import create_train_state
+
+N_CLS, N_PRED = 8, 5
+
+
+def test_rel_assignments_invariants():
+    rng = np.random.RandomState(0)
+    B, N, Ng, Eg = 2, 10, 5, 6
+    det_boxes = rng.rand(B, N, 4).astype(np.float32) * 80
+    det_boxes[..., 2:] += det_boxes[..., :2] + 15
+    det_mask = np.ones((B, N), bool)
+    det_mask[:, 8:] = False
+    gt_boxes = det_boxes[:, :Ng] + rng.randn(B, Ng, 4).astype(np.float32)
+    gt_boxes[..., 2:] = np.maximum(gt_boxes[..., 2:],
+                                   gt_boxes[..., :2] + 2)
+    gt_classes = rng.randint(1, N_CLS, (B, Ng)).astype(np.int32)
+    det_labels = np.concatenate(
+        [gt_classes, rng.randint(1, N_CLS, (B, N - Ng))], 1).astype(np.int32)
+    gt_rels = np.zeros((B, Eg, 3), np.int32)
+    gt_rel_mask = np.zeros((B, Eg), bool)
+    for b in range(B):
+        for e in range(4):
+            s, o = rng.choice(Ng, 2, replace=False)
+            gt_rels[b, e] = (s, o, rng.randint(1, N_PRED))
+            gt_rel_mask[b, e] = True
+
+    rels, mask = rel_assignments(
+        jax.random.key(0), jnp.asarray(det_boxes), jnp.asarray(det_labels),
+        jnp.asarray(det_mask), jnp.asarray(gt_boxes),
+        jnp.asarray(gt_classes), jnp.asarray(gt_rels),
+        jnp.asarray(gt_rel_mask), max_out=16, filter_non_overlap=False)
+    rels, mask = np.asarray(rels), np.asarray(mask)
+    assert rels.shape == (B, 16, 3)
+    for b in range(B):
+        valid = rels[b][mask[b]]
+        assert len(valid) > 0
+        # endpoints are valid detections, no self loops (except the dummy)
+        if len(valid) > 1 or valid[0].any():
+            assert (valid[:, 0] < 8).all() and (valid[:, 1] < 8).all()
+        fg = valid[valid[:, 2] > 0]
+        assert len(fg) <= round(0.25 * 16)
+        for s, o, p in fg:
+            # each FG pair matches its GT rel: same class + IoU>=0.5
+            g_match = [(gs, go, gp) for gs, go, gp in
+                       gt_rels[b][gt_rel_mask[b]]
+                       if gp == p and det_labels[b, s] == gt_classes[b, gs]
+                       and det_labels[b, o] == gt_classes[b, go]]
+            assert g_match, (s, o, p)
+
+
+def test_rel_assignments_dummy_when_empty():
+    # no detections match anything and nothing overlaps -> dummy rel
+    det_boxes = jnp.asarray([[[0, 0, 10, 10], [500, 500, 510, 510]]],
+                            jnp.float32)
+    det_labels = jnp.asarray([[1, 2]])
+    det_mask = jnp.ones((1, 2), bool)
+    gt_boxes = jnp.asarray([[[100, 100, 120, 120], [200, 200, 220, 220]]],
+                           jnp.float32)
+    gt_classes = jnp.asarray([[3, 4]])
+    gt_rels = jnp.asarray([[[0, 1, 2]]])
+    gt_rel_mask = jnp.ones((1, 1), bool)
+    rels, mask = rel_assignments(
+        jax.random.key(0), det_boxes, det_labels, det_mask, gt_boxes,
+        gt_classes, gt_rels, gt_rel_mask, max_out=8,
+        filter_non_overlap=True)
+    assert np.asarray(mask).sum() == 1
+    np.testing.assert_array_equal(np.asarray(rels)[0, 0], [0, 0, 0])
+
+
+def _sgdet_setup():
+    config = Config(batch_size=2, max_nodes=8, max_edges=16, mode="sgdet",
+                    loss="dnorm", compute_dtype="float32")
+    ds = SyntheticSGGDataset(num_images=2, num_classes=N_CLS,
+                             num_predicates=N_PRED, max_objects=5,
+                             image_size=96, with_images=True, seed=0)
+    gb = ds.batch([0, 1], max_nodes=8, max_edges=16)
+    detector = FasterRCNNVGG(num_classes=N_CLS, rpn_pre_nms_top_n=64,
+                             rpn_post_nms_top_n=24, detections_per_img=8,
+                             obj_dim=48, dtype=jnp.float32,
+                             score_thresh=0.01)
+    relmodel = RelModelIMP(num_classes=N_CLS, num_predicates=N_PRED,
+                           mode="sgdet", hidden_dim=16, obj_dim=32,
+                           dtype=jnp.float32)
+    det_vars = detector.init(jax.random.key(0), gb.images, gb.im_hw,
+                             train=False)
+    # rel model init on detector outputs
+    det = detector.apply(det_vars, gb.images, gb.im_hw, train=False)
+    from sgg_tpu.models.sgdet import detection_pairs
+    pairs, pmask = detection_pairs(det["boxes"], det["mask"], True)
+    rel_vars = relmodel.init(jax.random.key(1), None, det["boxes"],
+                             det["labels"], pairs, pmask, fmap=det["fmap"],
+                             train=False, mode="sgdet")
+    return config, detector, relmodel, det_vars, rel_vars, gb
+
+
+def test_sgdet_eval_step():
+    config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
+    step = make_sgdet_eval_step(detector, relmodel, score_thresh=0.0)
+    out = step((det_vars, rel_vars), gb)
+    D = 8
+    assert out["det_boxes"].shape == (2, D, 4)
+    assert out["rel_dists"].shape[:2] == (2, D * (D - 1))
+    assert np.isfinite(np.asarray(out["rel_dists"])).all()
+    # obj_preds come from the rel head (argmax), in [1, C)
+    preds = np.asarray(out["obj_preds"])[np.asarray(out["det_mask"])]
+    if len(preds):
+        assert (preds >= 1).all()
+
+
+def test_sgdet_train_step_updates_rel_head_only():
+    config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
+    state = create_train_state(config, rel_vars)
+    step = make_sgdet_train_step(detector, relmodel, config, det_vars)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, metrics = step(state, gb, jax.random.key(0))
+    assert np.isfinite(float(metrics["total"]))
+    delta = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - np.asarray(b)).max()),
+        state.params["imp"], p0["imp"])))
+    assert delta > 0
+
+
+def test_sgdet_retry_loop():
+    config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
+    cache = {}
+    out = sgdet_eval_with_retry(detector, relmodel, (det_vars, rel_vars),
+                                gb, thresholds=(0.99, 0.0), _cache=cache)
+    # threshold 0.99 likely finds nothing -> falls back to 0.0
+    assert len(cache) >= 1
+    assert out is not None

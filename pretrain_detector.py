@@ -1,0 +1,142 @@
+"""Detector pretraining: fine-tune the Faster R-CNN on VG or GQA objects.
+
+Rebuild of ``/root/reference/pretrain_detector.py`` + the torchvision
+tutorial engine (``detector/engine.py``): SGD lr 0.005 momentum 0.9 weight
+decay 5e-4, StepLR(step=3, gamma=0.1), 10 epochs, linear warmup over the
+first epoch's initial iterations, per-epoch checkpoints. The loss is the sum
+of the RPN objectness/box and RoI-head classifier/box terms; everything runs
+as one jitted step over padded batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def make_detector_train_step(detector, config):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sgg_tpu.models.detector import roi_head_losses, rpn_losses
+
+    def train_step(state, batch, key):
+        k_rpn, k_roi = jax.random.split(key)
+
+        def loss_fn(params):
+            out = detector.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.images, batch.im_hw, train=True,
+                rngs={"dropout": key})
+            losses: Dict[str, jnp.ndarray] = {}
+            losses.update(rpn_losses(k_rpn, out["anchors"],
+                                     out["rpn_obj_logits"],
+                                     out["rpn_deltas"], batch.boxes,
+                                     batch.node_mask))
+            losses.update(roi_head_losses(
+                k_roi, out["proposals"], out["prop_mask"],
+                out["class_logits"], out["box_deltas"], batch.boxes,
+                batch.classes, batch.node_mask))
+            total = sum(jnp.asarray(v) for v in losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(step=state.step + 1, params=params,
+                              opt_state=opt_state)
+        metrics = dict(losses)
+        metrics["total"] = total
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def pretrain(splits, *, num_epochs: int = 10, batch_size: int = 3,
+             lr: float = 0.005, save_dir: str = None, max_nodes: int = 64,
+             detector=None, with_images: bool = True,
+             steps_per_print: int = 50):
+    """Runs the pretraining loop; returns (detector, state)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sgg_tpu.data.pipeline import BatchLoader
+    from sgg_tpu.models.detector import FasterRCNNVGG
+    from sgg_tpu.train import checkpoint as ckpt
+    from sgg_tpu.train.state import TrainState
+
+    train_data = splits["train"]
+    if detector is None:
+        detector = FasterRCNNVGG(num_classes=train_data.num_classes)
+
+    loader = BatchLoader(train_data, batch_size=batch_size,
+                         max_nodes=max_nodes, max_edges=1,
+                         with_images=with_images)
+    batch = next(iter(loader))
+    variables = detector.init(jax.random.key(0), batch.images, batch.im_hw,
+                              train=False)
+    steps_per_epoch = max(len(train_data) // batch_size, 1)
+
+    # SGD(0.005, m=0.9, wd=5e-4) + warmup + StepLR(3, 0.1)
+    # (pretrain_detector.py:96-107, engine.py:22-28)
+    warmup = min(1000, steps_per_epoch - 1) if steps_per_epoch > 1 else 0
+    schedules = [optax.linear_schedule(lr / 1000, lr, max(warmup, 1))]
+    boundaries = [max(warmup, 1)]
+    cur = lr
+    for e in range(3, num_epochs, 3):
+        schedules.append(optax.constant_schedule(cur))
+        boundaries.append(e * steps_per_epoch)
+        cur *= 0.1
+    schedules.append(optax.constant_schedule(cur))
+    schedule = optax.join_schedules(schedules, boundaries)
+    tx = optax.chain(optax.add_decayed_weights(5e-4),
+                     optax.sgd(schedule, momentum=0.9))
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), tx=tx)
+
+    step_fn = make_detector_train_step(detector, None)
+    for epoch in range(num_epochs):
+        key = jax.random.key(epoch)
+        t0 = time.time()
+        for b_i, batch in enumerate(loader):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub)
+            if (b_i + 1) % steps_per_print == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t0) / steps_per_print
+                print(f"e{epoch} b{b_i + 1} " +
+                      " ".join(f"{k}={v:.4f}" for k, v in vals.items()) +
+                      f" {dt:.3f}s/b")
+                t0 = time.time()
+        if save_dir:
+            ckpt.save_payload(save_dir, {
+                "step": state.step, "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "epoch": np.asarray(epoch)}, epoch)
+    return detector, state
+
+
+def main():
+    import sys
+    dataset, data_dir, results_dir = sys.argv[1:4]
+    assert dataset in ("vg", "gqa"), dataset
+    if dataset == "gqa":
+        from sgg_tpu.data import gqa as dsmod
+    else:
+        from sgg_tpu.data import visual_genome as dsmod
+    splits = dsmod.splits(data_dir)
+    pretrain(splits, save_dir=results_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,16 +57,22 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
               name: str, *, train: Optional[SGGDataset] = None,
               n_batches: int = -1, eval_batch_size: int = 8,
               with_images: bool = True, collect_entries: bool = False,
+              detector=None, det_variables=None,
               log_fn=None, verbose: bool = True) -> Dict[str, float]:
     """Evaluate one split of ``model`` (a RelModelIMP-compatible module).
 
     Returns a flat results dict ``{eval_m}/{name}_R@K_{GC|NOGC}`` etc.
     Runs one jitted forward per eval regime (the reference re-runs the model
-    with ``set_mode`` per regime, eval.py:56).
+    with ``set_mode`` per regime, eval.py:56). For sgdet, pass the detector
+    module + its frozen variables; the box-threshold retry loop of
+    ``eval.py:125-133`` applies.
     """
     from sgg_tpu.train.step import make_eval_step
 
     eval_modes = ["sgdet"] if config.mode == "sgdet" else ["predcls", "sgcls"]
+    if config.mode == "sgdet":
+        assert detector is not None and det_variables is not None, (
+            "sgdet evaluation needs the detector")
 
     pred_weights = None
     if config.pred_weight != 0 and train is not None:
@@ -90,10 +96,12 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 m, dataset.ind_to_predicates, multiple_preds=True)
 
     entries = []
+    sgdet_cache: Dict = {}
     for m in eval_modes:
         if m not in evaluators:
             continue
-        eval_step = make_eval_step(model, mode=m)
+        if m != "sgdet":
+            eval_step = make_eval_step(model, mode=m)
         loader = BatchLoader(dataset, batch_size=eval_batch_size,
                              max_nodes=config.max_nodes,
                              max_edges=config.max_edges, shuffle=False,
@@ -102,15 +110,25 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         for b_i, batch in enumerate(loader):
             if n_batches > -1 and b_i >= n_batches:
                 break
-            out = eval_step(variables, batch)
-            node_mask = np.asarray(batch.node_mask)
+            if m == "sgdet":
+                from sgg_tpu.models.sgdet import sgdet_eval_with_retry
+                out = sgdet_eval_with_retry(
+                    detector, model, (det_variables, variables), batch,
+                    _cache=sgdet_cache)
+                node_mask = np.asarray(out["det_mask"])
+                boxes = np.asarray(out["det_boxes"])
+            else:
+                out = eval_step(variables, batch)
+                node_mask = np.asarray(batch.node_mask)
+                boxes = np.asarray(batch.boxes)
             obj_scores = np.asarray(out["obj_scores"], np.float32)
             obj_preds = np.asarray(out["obj_preds"])
             rel_dists = np.asarray(out["rel_dists"], np.float32)
             pairs = np.asarray(out["pairs"])
             pair_mask = np.asarray(out["pair_mask"])
-            boxes = np.asarray(batch.boxes)
 
+            gt_node_mask = np.asarray(batch.node_mask)
+            gt_boxes_b = np.asarray(batch.boxes)
             for i in range(batch.batch_size):
                 idx = img_base + i
                 if idx >= len(dataset):
@@ -128,11 +146,12 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 # GT in the same (padded-frame) coordinate space as the
                 # predictions; graphs beyond max_nodes are truncated
                 # identically on both sides.
-                keep = (gt_rels[:, 0] < n) & (gt_rels[:, 1] < n)
+                n_gt = int(gt_node_mask[i].sum())
+                keep = (gt_rels[:, 0] < n_gt) & (gt_rels[:, 1] < n_gt)
                 gt_entry = {
-                    "gt_classes": dataset.gt_classes[idx][:n],
+                    "gt_classes": dataset.gt_classes[idx][:n_gt],
                     "gt_relations": gt_rels[keep],
-                    "gt_boxes": boxes[i][:n],
+                    "gt_boxes": gt_boxes_b[i][:n_gt],
                 }
                 if len(gt_entry["gt_relations"]) == 0:
                     continue

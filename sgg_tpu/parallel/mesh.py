@@ -52,3 +52,38 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
         tree)
+
+
+# ---------------------------------------------------------------------------
+# edge-axis sharding — the context-parallel analogue for giant graphs
+# (SURVEY.md §2.11): the "sequence" of this workload is the per-image edge
+# set; the union-feature extraction, edge FC heads, and the incidence
+# contraction of message passing are all shardable along E. XLA/GSPMD
+# inserts the psum over the edge axis for the incidence einsums.
+
+def make_mesh_2d(data: int, edge: int,
+                 axis_names=("data", "edge")) -> Mesh:
+    """2-D mesh: batch axis x edge axis."""
+    devices = np.asarray(jax.devices()[:data * edge]).reshape(data, edge)
+    return Mesh(devices, axis_names)
+
+
+def shard_batch_edges(batch, mesh: Mesh, data_axis: str = "data",
+                      edge_axis: str = "edge"):
+    """GraphBatch placement: images/nodes sharded on the batch axis only;
+    edge arrays sharded on (batch, edge)."""
+    dp = NamedSharding(mesh, P(data_axis))
+    dp_edge = NamedSharding(mesh, P(data_axis, edge_axis))
+
+    def place(name, x):
+        if x is None:
+            return None
+        if name in ("rels", "rel_mask"):
+            return jax.device_put(x, dp_edge)
+        return jax.device_put(x, dp)
+
+    import dataclasses
+    return dataclasses.replace(
+        batch,
+        **{f.name: place(f.name, getattr(batch, f.name))
+           for f in dataclasses.fields(batch)})

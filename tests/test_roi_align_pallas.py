@@ -1,0 +1,30 @@
+"""Pallas RoIAlign parity vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sgg_tpu.ops.roi_align import roi_align
+from sgg_tpu.ops.roi_align_pallas import roi_align_pallas
+
+
+def test_pallas_matches_xla():
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 12, 14, 8
+    fmap = rng.randn(B, H, W, C).astype(np.float32)
+    boxes = rng.rand(B, 9, 4).astype(np.float32) * 150
+    boxes[..., 2:] += boxes[..., :2] + 10
+    want = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(boxes),
+                                spatial_scale=1 / 16.0))
+    got = np.asarray(roi_align_pallas(jnp.asarray(fmap), jnp.asarray(boxes),
+                                      spatial_scale=1 / 16.0, chunk=4,
+                                      interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_degenerate_boxes():
+    fmap = jnp.ones((1, 8, 8, 4), jnp.float32)
+    boxes = jnp.zeros((1, 5, 4), jnp.float32)
+    out = np.asarray(roi_align_pallas(fmap, boxes, spatial_scale=1 / 16.0,
+                                      chunk=8, interpret=True))
+    assert np.isfinite(out).all()

@@ -9,8 +9,15 @@ on the fly from the ROI coordinates, and runs the two contractions on the
 MXU — HBM traffic is one fmap read + one pooled-output write.
 
 Numerics match ``roi_align`` (torchvision ``aligned=False`` semantics);
-parity-tested in ``tests/test_roi_align_pallas.py``. Falls back to the XLA
-path on non-TPU backends (interpret mode covers tests).
+parity-tested in ``tests/test_roi_align_pallas.py`` (interpret mode).
+
+Status: the XLA separable path remains the default — it runs within ~2x of
+this op's bandwidth bound (~8 ms for 24x256 ROIs over 37x37x512 bf16 maps on
+v5e, ~5% of the SGCls step). The Mosaic lowering of this kernel is blocked
+by the current remote-compile toolchain (batched ``dot_general`` and
+several second-stage formulations are rejected by ``tpu_compile_helper``
+with no diagnostics; simpler variants of each piece compile and run).
+Kept as the optimization path to land when the toolchain surfaces errors.
 """
 
 from __future__ import annotations
@@ -60,26 +67,29 @@ def _kernel(rois_ref, fmap_ref, out_ref, *, pooled, ratio, chunk):
     rh = jnp.maximum(rois[:, 3] - y1, 1.0)
 
     Wy = _weights(y1, rh, H, pooled, ratio)  # (chunk, P, H)
-    Wx = _weights(x1, rw, W, pooled, ratio)  # (chunk, P, W)
 
     fmap = fmap_ref[0].astype(jnp.float32)   # (H, W, C)
-    # rows: (chunk*P, H) @ (H, W*C)
+    # rows: (chunk*P, H) @ (H, W*C) — one MXU matmul for the whole chunk
     t = jnp.dot(Wy.reshape(chunk * pooled, H), fmap.reshape(H, W * Cc),
                 preferred_element_type=jnp.float32)
-    t = t.reshape(chunk, pooled, W, Cc)
-    # cols: batched contraction over W
-    out = jax.lax.dot_general(
-        Wx, t, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (chunk, P, P, C): q, p axes
-    out = out.transpose(0, 2, 1, 3)  # (chunk, p, q, C)
-    out_ref[0] = out.astype(out_ref.dtype)
+    # keep the intermediate in the output dtype (the XLA path does the same)
+    t = t.astype(out_ref.dtype).reshape(chunk, pooled, W, Cc)
+    # cols: contraction over W, unrolled over the P output columns.
+    # Mosaic neither lowers batched dot_general nor likes slicing a
+    # computed (chunk, P, W) weight tensor, so build each column's weight
+    # row directly (bin q spans [x1 + rw*q/P, x1 + rw*(q+1)/P]).
+    for q in range(pooled):
+        wq = _weights(x1 + rw * (q / pooled), rw / pooled, W, 1,
+                      ratio)[:, 0, :].astype(t.dtype)  # (chunk, W)
+        col = (t * wq[:, None, :, None]).sum(axis=2)  # (chunk, P, C)
+        out_ref[0, :, :, q, :] = col.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("pooled", "ratio", "chunk",
                                              "interpret"))
 def roi_align_pallas(fmap: jnp.ndarray, boxes: jnp.ndarray, *,
                      spatial_scale: float, pooled: int = 7, ratio: int = 2,
-                     chunk: int = 32, interpret: bool = False) -> jnp.ndarray:
+                     chunk: int = 8, interpret: bool = False) -> jnp.ndarray:
     """Drop-in Pallas replacement for ``roi_align``.
 
     fmap (B, H, W, C); boxes (B, R, 4) in image pixels ->

@@ -242,6 +242,12 @@ class Trainer:
                 # force host sync once per interval, not per step
                 means = {k: float(np.mean([float(x) for x in v]))
                          for k, v in accum.items()}
+                if cfg.debug and not np.isfinite(means.get("total", 0.0)):
+                    # NaN guard (reference detector/engine.py:41-44 aborts
+                    # on non-finite loss)
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} batch {b_i}: "
+                        f"{means}")
                 for k, v in means.items():
                     epoch_means[k].append(v)
                 dt = (time.time() - t0) / cfg.print_interval
@@ -259,17 +265,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, split_names, n_batches: int = -1,
-                 verbose: bool = True) -> Dict[str, float]:
+                 verbose: bool = True,
+                 collect_entries: bool = False) -> Dict[str, float]:
         results = {}
         for name in split_names:
             ds = self.splits.get(name)
             if ds is None or len(ds) == 0:
                 continue
-            results.update(val_epoch(
+            res = val_epoch(
                 self.model, self.variables, ds, self.config, name,
                 train=self.train_data, n_batches=n_batches,
                 with_images=self.with_images, verbose=verbose,
-                log_fn=lambda d: self.log_fn(d, step=self.global_iter)))
+                collect_entries=collect_entries,
+                log_fn=lambda d: self.log_fn(d, step=self.global_iter))
+            if collect_entries and "_entries" in res:
+                results.setdefault("_entries", {})[name] = res.pop("_entries")
+            results.update(res)
         return results
 
     # ------------------------------------------------------------------
@@ -289,10 +300,17 @@ class Trainer:
                               verbose=False)
         results = {}
         if not cfg.notest:
-            results = self.evaluate(test_names)
+            results = self.evaluate(test_names,
+                                    collect_entries=cfg.save_scores)
             if cfg.save_dir and results:
                 with open(os.path.join(cfg.save_dir, "test_results.json"),
                           "w") as f:
                     json.dump({k: v for k, v in results.items()
                                if not k.startswith("_")}, f, indent=2)
+            if cfg.save_scores and cfg.save_dir and "_entries" in results:
+                # pickle test prediction entries (reference main.py:284-288)
+                import pickle
+                with open(os.path.join(cfg.save_dir,
+                                       "test_predictions.pkl"), "wb") as f:
+                    pickle.dump(results.pop("_entries"), f)
         return results

@@ -200,6 +200,111 @@ class FasterRCNNVGG(nn.Module):
         return dets
 
 
+class FasterRCNNFPN(nn.Module):
+    """ResNet50-FPN Faster R-CNN (the reference's ``maskrcnn_resnet50_fpn``
+    with the mask head removed, rel_model_base.py:58-81).
+
+    Multi-level anchors (one size per pyramid level x 3 ratios), a shared
+    RPN head, per-level top-k proposal selection with level-separated NMS
+    (torchvision ``batched_nms`` semantics via the coordinate-offset trick),
+    MultiScaleRoIAlign box features, and a 1024-d TwoMLPHead
+    (``obj_dim=1024``, rel_model_base.py:59). The relation head consumes the
+    LAST pyramid level ('pool', stride 64) as its global feature map
+    (rel_model_base.py:239).
+    """
+
+    num_classes: int
+    pool_size: int = POOL_SIZE
+    obj_dim: int = 1024
+    score_thresh: float = 0.2
+    nms_thresh: float = 0.5
+    detections_per_img: int = 50
+    rpn_pre_nms_top_n: int = 1000   # per level
+    rpn_post_nms_top_n: int = 512
+    rpn_nms_thresh: float = 0.7
+    dtype: Any = jnp.bfloat16
+
+    LEVELS = ("p2", "p3", "p4", "p5", "pool")
+    STRIDES = (4, 8, 16, 32, 64)
+    SIZES = (32, 64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, images, im_hw, *, pyramid=None, train: bool = False,
+                 score_thresh: Optional[float] = None):
+        from sgg_tpu.models.resnet import (ResNet50FPN,
+                                           multiscale_roi_align)
+        if pyramid is None:
+            pyramid = ResNet50FPN(dtype=self.dtype,
+                                  name="backbone")(images, train=train)
+        A = len(ANCHOR_RATIOS)
+        rpn = RPNHead(num_anchors=A, dtype=self.dtype, name="rpn")
+
+        all_boxes, all_scores, all_lvl = [], [], []
+        anchors_per_level = {}
+        obj_logits_lvl, deltas_lvl = {}, {}
+        for lvl, stride, size in zip(self.LEVELS, self.STRIDES, self.SIZES):
+            fmap_l = pyramid[lvl]
+            fh, fw = fmap_l.shape[1], fmap_l.shape[2]
+            anchors = jnp.asarray(make_anchors(fh, fw, stride,
+                                               sizes=(size,)))
+            obj, deltas = rpn(fmap_l)
+            anchors_per_level[lvl] = anchors
+            obj_logits_lvl[lvl] = obj
+            deltas_lvl[lvl] = deltas
+            boxes = clip_boxes(decode_boxes(anchors[None], deltas), im_hw)
+            k = min(self.rpn_pre_nms_top_n, obj.shape[1])
+            top_s, top_i = jax.lax.top_k(obj, k)
+            all_boxes.append(jnp.take_along_axis(
+                boxes, top_i[..., None], axis=1))
+            all_scores.append(top_s)
+            all_lvl.append(jnp.full(top_s.shape,
+                                    float(self.STRIDES.index(stride))))
+
+        cat_boxes = jnp.concatenate(all_boxes, axis=1)
+        cat_scores = jnp.concatenate(all_scores, axis=1)
+        cat_lvl = jnp.concatenate(all_lvl, axis=1)
+
+        def one(b, s, lv, hw):
+            ws = b[:, 2] - b[:, 0]
+            hs = b[:, 3] - b[:, 1]
+            valid = (ws > 1e-3) & (hs > 1e-3)
+            # level-separated NMS via coordinate offsets (batched_nms)
+            offset = lv[:, None] * (jnp.max(hw) + 1000.0)
+            idx, mask = nms(b + offset, s, valid, self.rpn_nms_thresh,
+                            self.rpn_post_nms_top_n)
+            return b[idx], mask
+
+        proposals, prop_mask = jax.vmap(one)(cat_boxes, cat_scores,
+                                             cat_lvl, im_hw)
+
+        pooled = multiscale_roi_align(
+            [pyramid[l] for l in self.LEVELS[:4]], proposals,
+            self.STRIDES[:4], pooled=self.pool_size)
+        feats = RoiHead(out_dim=self.obj_dim, with_final_relu=True,
+                        dtype=self.dtype, name="box_head")(pooled,
+                                                           train=train)
+        class_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                name="cls_score")(feats.astype(jnp.float32))
+        box_deltas = nn.Dense(self.num_classes * 4, dtype=jnp.float32,
+                              name="bbox_pred")(feats.astype(jnp.float32))
+
+        dets = postprocess_detections(
+            class_logits, box_deltas, proposals, prop_mask, im_hw,
+            score_thresh=(self.score_thresh if score_thresh is None
+                          else score_thresh),
+            nms_thresh=self.nms_thresh,
+            detections_per_img=self.detections_per_img)
+        dets.update({
+            # the relation head's global feature map: last pyramid level
+            "fmap": pyramid["pool"], "pyramid": pyramid,
+            "proposals": proposals, "prop_mask": prop_mask,
+            "rpn_obj_logits": obj_logits_lvl, "rpn_deltas": deltas_lvl,
+            "anchors": anchors_per_level,
+            "class_logits": class_logits, "box_deltas": box_deltas,
+        })
+        return dets
+
+
 # ---------------------------------------------------------------------------
 # training target assignment + losses (torchvision RPN/RoIHeads semantics)
 

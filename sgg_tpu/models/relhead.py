@@ -133,6 +133,11 @@ class RelModelIMP(nn.Module):
     pool_size: int = POOL_SIZE
     stride: int = STRIDE
     mp_iter: int = 3
+    # 'vgg16': stride-16 VGG trunk (obj_dim 4096). 'resnet50': ResNet50-FPN,
+    # relation features pooled from the LAST pyramid level at stride 64
+    # with obj_dim 1024 (reference rel_model_base.py:58-81,239 — the
+    # MultiScaleRoIAlign receives only result.fmap wrapped as one level).
+    backbone: str = "vgg16"
     dtype: Any = jnp.bfloat16
     freq_table: Optional[np.ndarray] = None  # (C, C, R) log distribution
 
@@ -160,18 +165,28 @@ class RelModelIMP(nn.Module):
         obj_preds (B,N), obj_scores (B,N) — all float32.
         """
         mode = mode or self.mode
+        stride = self.stride
         if fmap is None:
             # frozen detector semantics (rel_model_stanford.py:125-131)
-            fmap = jax.lax.stop_gradient(
-                VGG16Trunk(dtype=self.dtype, name="trunk")(images))
+            if self.backbone == "resnet50":
+                from sgg_tpu.models.resnet import ResNet50FPN
+                pyramid = ResNet50FPN(dtype=self.dtype,
+                                      name="trunk")(images, train=False)
+                fmap = jax.lax.stop_gradient(pyramid["pool"])
+                stride = 64
+            else:
+                fmap = jax.lax.stop_gradient(
+                    VGG16Trunk(dtype=self.dtype, name="trunk")(images))
+        elif self.backbone == "resnet50":
+            stride = 64
 
         # node + union RoI features through one RoIAlign kernel
         # (rel_model_base.py:245-260)
-        node_pool = roi_align(fmap, boxes, spatial_scale=1.0 / self.stride,
+        node_pool = roi_align(fmap, boxes, spatial_scale=1.0 / stride,
                               pooled=self.pool_size)
         uboxes = union_boxes(boxes, pairs[..., 0], pairs[..., 1])
         union_pool_raw = roi_align(fmap, uboxes,
-                                   spatial_scale=1.0 / self.stride,
+                                   spatial_scale=1.0 / stride,
                                    pooled=self.pool_size)
         union_pool = union_pool_raw
 

@@ -47,11 +47,15 @@ def build_model(config: Config, train_data: SGGDataset) -> RelModelIMP:
         freq_table = log_predicate_distribution(fg, bg)
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else \
         jnp.float32
+    # resnet50: 1024-d box head, relation features from the last pyramid
+    # level (rel_model_base.py:59,239)
+    obj_dim = 1024 if config.backbone == "resnet50" else 4096
     return RelModelIMP(
         num_classes=train_data.num_classes,
         num_predicates=train_data.num_predicates,
         mode=config.mode, use_bias=config.use_bias,
-        test_bias=config.test_bias, dtype=dtype, freq_table=freq_table)
+        test_bias=config.test_bias, obj_dim=obj_dim,
+        backbone=config.backbone, dtype=dtype, freq_table=freq_table)
 
 
 class Trainer:

@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgg_tpu.models.detector import FasterRCNNFPN
+from sgg_tpu.models.resnet import (ResNet50FPN, multiscale_roi_align,
+                                   roi_level_assignment)
+
+
+def test_resnet50_fpn_shapes():
+    model = ResNet50FPN(dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["p2"].shape == (1, 32, 32, 256)
+    assert out["p3"].shape == (1, 16, 16, 256)
+    assert out["p4"].shape == (1, 8, 8, 256)
+    assert out["p5"].shape == (1, 4, 4, 256)
+    assert out["pool"].shape == (1, 2, 2, 256)
+    # parameter count sanity: ResNet50 ~25.6M + FPN laterals/outputs
+    n = sum(np.prod(p.shape) for p in
+            jax.tree_util.tree_leaves(variables["params"]))
+    assert 26e6 < n < 32e6, n
+
+
+def test_roi_level_assignment():
+    boxes = jnp.asarray([[0, 0, 56, 56],      # sqrt area 56 -> level 2 (k=2)
+                         [0, 0, 224, 224],    # canonical -> level 4
+                         [0, 0, 1000, 1000],  # huge -> level 5
+                         [0, 0, 10, 10]])     # tiny -> level 2
+    lv = np.asarray(roi_level_assignment(boxes))
+    np.testing.assert_array_equal(lv, [0, 2, 3, 0])
+
+
+def test_multiscale_roi_align_selects_levels():
+    rng = np.random.RandomState(0)
+    pyr = [jnp.asarray(rng.randn(1, s, s, 4), jnp.float32)
+           for s in (32, 16, 8, 4)]
+    boxes = jnp.asarray([[[0, 0, 56, 56], [0, 0, 600, 600]]], jnp.float32)
+    out = multiscale_roi_align(pyr, boxes, (4, 8, 16, 32), pooled=7)
+    assert out.shape == (1, 2, 7, 7, 4)
+    # the small box pools exclusively from level 0
+    from sgg_tpu.ops.roi_align import roi_align
+    only0 = roi_align(pyr[0], boxes, spatial_scale=1 / 4.0)
+    np.testing.assert_allclose(np.asarray(out[0, 0]),
+                               np.asarray(only0[0, 0]), atol=1e-5)
+
+
+def test_fpn_detector_forward():
+    rng = np.random.RandomState(1)
+    det = FasterRCNNFPN(num_classes=7, rpn_pre_nms_top_n=64,
+                        rpn_post_nms_top_n=32, detections_per_img=10,
+                        obj_dim=64, dtype=jnp.float32, score_thresh=0.01)
+    images = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+    im_hw = jnp.full((1, 2), 128.0)
+    variables = det.init(jax.random.key(0), images, im_hw, train=False)
+    out = det.apply(variables, images, im_hw, train=False)
+    assert out["boxes"].shape == (1, 10, 4)
+    assert out["fmap"].shape == (1, 2, 2, 256)  # 'pool' level
+    assert out["proposals"].shape == (1, 32, 4)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    b = np.asarray(out["boxes"])[np.asarray(out["mask"])]
+    if len(b):
+        assert (b >= -1e-3).all() and (b <= 128 + 1e-3).all()
+
+
+def test_relmodel_resnet50_backbone():
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models.relhead import RelModelIMP
+    from sgg_tpu.train.assign import sample_edges
+
+    ds = SyntheticSGGDataset(num_images=2, num_classes=9, num_predicates=5,
+                             max_objects=4, image_size=128,
+                             with_images=True, seed=0)
+    gb = ds.batch([0, 1], max_nodes=6, max_edges=10)
+    model = RelModelIMP(num_classes=9, num_predicates=5, mode="sgcls",
+                        hidden_dim=16, obj_dim=32, backbone="resnet50",
+                        dtype=jnp.float32)
+    sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                               gb.node_mask, max_out=10)
+    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
+                           gb.classes, sampled[..., :2], pm, train=False)
+    out = model.apply(variables, gb.images, gb.boxes, gb.classes,
+                      sampled[..., :2], pm, train=False)
+    assert out["obj_logits"].shape == (2, 6, 9)
+    assert out["rel_logits"].shape == (2, 10, 5)
+    assert np.isfinite(np.asarray(out["obj_logits"])).all()
+    assert "trunk" in variables["params"]  # frozen partition label applies

@@ -47,7 +47,30 @@ def main():
                               max_graph_size=config.max_graph_size)
 
     log_fn = make_logger(config)
-    trainer = Trainer(config, splits, log_fn=log_fn)
+
+    detector = det_variables = None
+    if config.mode == "sgdet":
+        # load the pretrained detector (reference: sgdet refuses to start
+        # without one, pytorch_misc.py:210-211)
+        assert config.ckpt, "-ckpt must point to a pretrained detector dir"
+        from sgg_tpu.data.pipeline import BatchLoader
+        from sgg_tpu.models.detector import FasterRCNNFPN, FasterRCNNVGG
+        from sgg_tpu.train.checkpoint import restore_payload
+        cls = FasterRCNNVGG if config.backbone == "vgg16" else FasterRCNNFPN
+        detector = cls(num_classes=splits["train"].num_classes)
+        loader = BatchLoader(splits["train"], batch_size=1,
+                             max_nodes=config.max_nodes, max_edges=1)
+        batch = next(iter(loader))
+        det_variables = detector.init(jax.random.key(0), batch.images,
+                                      batch.im_hw, train=False)
+        restored, epoch = restore_payload(config.ckpt)
+        assert epoch >= 0, f"no detector checkpoint found in {config.ckpt}"
+        det_variables = {"params": restored["params"],
+                         "batch_stats": restored["batch_stats"]}
+        print(f"loaded detector checkpoint from epoch {epoch}")
+
+    trainer = Trainer(config, splits, detector=detector,
+                      det_variables=det_variables, log_fn=log_fn)
     results = trainer.fit()
     for k, v in sorted(results.items()):
         if not k.startswith("_"):

@@ -42,17 +42,22 @@ def save_payload(save_dir: str, payload: Dict[str, Any], epoch: int) -> None:
     mgr.wait_until_finished()
 
 
-def restore_payload(save_dir: str, template: Dict[str, Any],
+def restore_payload(save_dir: str, template: Optional[Dict[str, Any]] = None,
                     epoch: Optional[int] = None):
     """Restore a payload into a template; returns (payload, epoch) with
-    epoch=-1 when nothing exists."""
+    epoch=-1 when nothing exists. With template=None the save-time
+    structure is restored as numpy arrays."""
     import orbax.checkpoint as ocp
     mgr = _manager(save_dir)
     if epoch is None:
         epoch = mgr.latest_step()
         if epoch is None:
             return template, -1
-    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+    if template is None:
+        restored = mgr.restore(epoch)
+    else:
+        restored = mgr.restore(epoch,
+                               args=ocp.args.StandardRestore(template))
     return restored, int(epoch)
 
 

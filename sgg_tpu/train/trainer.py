@@ -63,7 +63,8 @@ class Trainer:
 
     def __init__(self, config: Config, splits: Dict[str, SGGDataset],
                  model: Optional[RelModelIMP] = None,
-                 gan_model=None, with_images: bool = True, log_fn=None):
+                 gan_model=None, detector=None, det_variables=None,
+                 with_images: bool = True, log_fn=None):
         self.config = config
         self.splits = splits
         self.train_data = splits["train"]
@@ -71,11 +72,24 @@ class Trainer:
         self.log_fn = log_fn or (lambda d, **kw: None)
         self.model = model if model is not None else build_model(
             config, self.train_data)
+        self.detector = detector
+        self.det_variables = det_variables
+        if config.mode == "sgdet":
+            # sgdet trains the relation head on frozen detections
+            # (main.py:62-63; rel_model_stanford.py:136-140)
+            assert detector is not None and det_variables is not None, (
+                "sgdet training needs a (pretrained) detector — pass "
+                "detector/det_variables (see pretrain_detector.py)")
 
         self.steps_per_epoch = max(
             len(self.train_data) // config.batch_size, 1)
         self.state = self._init_state()
-        self.train_step = make_train_step(self.model, config)
+        if config.mode == "sgdet":
+            from sgg_tpu.models.sgdet import make_sgdet_train_step
+            self.train_step = make_sgdet_train_step(
+                self.detector, self.model, config, self.det_variables)
+        else:
+            self.train_step = make_train_step(self.model, config)
         self.start_epoch = 0
         self.global_iter = 0
 
@@ -193,12 +207,22 @@ class Trainer:
             max_nodes=cfg.max_nodes, max_edges=cfg.max_edges,
             with_images=self.with_images, shuffle=False)
         batch = next(iter(loader))
-        sampled, pm = sample_edges(jax.random.key(0), batch.rels,
-                                   batch.rel_mask, batch.node_mask,
-                                   max_out=cfg.max_edges)
-        variables = self.model.init(
-            jax.random.key(cfg.seed), batch.images, batch.boxes,
-            batch.classes, sampled[..., :2], pm, train=False)
+        if cfg.mode == "sgdet":
+            from sgg_tpu.models.sgdet import detection_pairs
+            det = self.detector.apply(self.det_variables, batch.images,
+                                      batch.im_hw, train=False)
+            pairs, pm = detection_pairs(det["boxes"], det["mask"], True)
+            variables = self.model.init(
+                jax.random.key(cfg.seed), None, det["boxes"],
+                det["labels"], pairs, pm, fmap=det["fmap"], train=False,
+                mode="sgdet")
+        else:
+            sampled, pm = sample_edges(jax.random.key(0), batch.rels,
+                                       batch.rel_mask, batch.node_mask,
+                                       max_out=cfg.max_edges)
+            variables = self.model.init(
+                jax.random.key(cfg.seed), batch.images, batch.boxes,
+                batch.classes, sampled[..., :2], pm, train=False)
         return create_train_state(self.config, variables,
                                   steps_per_epoch=self.steps_per_epoch)
 
@@ -281,6 +305,7 @@ class Trainer:
                 train=self.train_data, n_batches=n_batches,
                 with_images=self.with_images, verbose=verbose,
                 collect_entries=collect_entries,
+                detector=self.detector, det_variables=self.det_variables,
                 log_fn=lambda d: self.log_fn(d, step=self.global_iter))
             if collect_entries and "_entries" in res:
                 results.setdefault("_entries", {})[name] = res.pop("_entries")

@@ -60,3 +60,30 @@ def test_sgdet_val_epoch():
     for k, v in res.items():
         if not k.startswith("_"):
             assert np.isfinite(v), (k, v)
+
+
+def test_sgdet_trainer_fit(tmp_path):
+    """Full sgdet training program through the Trainer."""
+    from sgg_tpu.train.trainer import Trainer
+    splits = _splits()
+    config = Config(batch_size=4, max_nodes=8, max_edges=12, mode="sgdet",
+                    loss="dnorm", num_epochs=1, val_size=0, notest=True,
+                    compute_dtype="float32", print_interval=1)
+    detector = FasterRCNNVGG(num_classes=9, rpn_pre_nms_top_n=32,
+                             rpn_post_nms_top_n=16, detections_per_img=8,
+                             obj_dim=32, dtype=jnp.float32,
+                             score_thresh=0.01)
+    relmodel = RelModelIMP(num_classes=9, num_predicates=5, mode="sgdet",
+                           hidden_dim=16, obj_dim=32, dtype=jnp.float32)
+    from sgg_tpu.data.pipeline import BatchLoader
+    loader = BatchLoader(splits["train"], batch_size=4, max_nodes=8,
+                         max_edges=12, with_images=False, shuffle=False)
+    gb = next(iter(loader))
+    det_vars = detector.init(jax.random.key(0), gb.images, gb.im_hw,
+                             train=False)
+    trainer = Trainer(config, splits, model=relmodel, detector=detector,
+                      det_variables=det_vars, with_images=False)
+    losses = trainer.train_epoch(0)
+    assert np.isfinite(losses["total"])
+    res = trainer.evaluate(("test_alls",), verbose=False)
+    assert "sgdet/test_alls_R@100_GC" in res

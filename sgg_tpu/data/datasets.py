@@ -151,6 +151,37 @@ class SGGDataset:
                          self.ind_to_predicates[int(p)],
                          self.ind_to_classes[int(o)]))
 
+    def describe(self, verbose: bool = True) -> Dict[str, float]:
+        """Dataset statistics: objects, FG/BG edges, graph density
+        (reference load-time print, visual_genome.py:242-249)."""
+        n_obj = np.asarray([len(c) for c in self.gt_classes])
+        n_fg = np.asarray([len(r) for r in self.relationships])
+        n_bg = n_obj * (n_obj - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            density = np.where(n_bg > 0, 100.0 * n_fg / np.maximum(n_bg, 1),
+                               0.0)
+        stats = {
+            "images": len(self),
+            "objects_total": int(n_obj.sum()),
+            "objects_mean": float(n_obj.mean()) if len(n_obj) else 0.0,
+            "fg_edges_total": int(n_fg.sum()),
+            "fg_edges_mean": float(n_fg.mean()) if len(n_fg) else 0.0,
+            "bg_edges_total": int(n_bg.sum()),
+            "density_mean": float(density.mean()) if len(density) else 0.0,
+            "unique_triplets": len(self.triplet_counts),
+        }
+        if verbose:
+            print(f"{stats['images']} images, "
+                  f"{sum(self.triplet_counts.values())} triplets "
+                  f"({stats['unique_triplets']} unique)")
+            print(f"Stats: {stats['objects_total']} objects "
+                  f"(mean {stats['objects_mean']:.1f}), "
+                  f"{stats['fg_edges_total']} FG edges "
+                  f"(mean {stats['fg_edges_mean']:.1f}), "
+                  f"{stats['bg_edges_total']} BG edges, "
+                  f"graph density {stats['density_mean']:.2f}%")
+        return stats
+
 
 def build_eval_splits(loader: Callable[..., SGGDataset],
                       with_10_100: bool = True) -> Dict[str, SGGDataset]:

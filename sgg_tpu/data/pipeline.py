@@ -88,11 +88,18 @@ class BatchLoader:
                  max_edges: int, shuffle: Optional[bool] = None,
                  drop_last: Optional[bool] = None, num_workers: int = 4,
                  prefetch: int = 2, seed: int = 0,
-                 with_images: bool = True, im_scale: int = IM_SCALE):
+                 with_images: bool = True, im_scale: int = IM_SCALE,
+                 buckets=None):
+        """``buckets``: optional ascending list of (max_nodes, max_edges)
+        shape buckets. Images are grouped into the smallest bucket whose
+        node capacity fits them, so small graphs stop paying the global
+        padding cost (one compiled step per bucket shape). None = a single
+        global (max_nodes, max_edges) shape."""
         self.ds = dataset
         self.batch_size = batch_size
         self.max_nodes = max_nodes
         self.max_edges = max_edges
+        self.buckets = sorted(buckets) if buckets else None
         # train loader shuffles and drops last (visual_genome.py:720-739)
         self.shuffle = dataset.is_train if shuffle is None else shuffle
         self.drop_last = dataset.is_train if drop_last is None else drop_last
@@ -124,7 +131,8 @@ class BatchLoader:
             im_scale=self.im_scale,
             filter_duplicates=self.ds.filter_duplicates)
 
-    def _assemble(self, indices, rng) -> GraphBatch:
+    def _assemble(self, indices, rng, max_nodes=None,
+                  max_edges=None) -> GraphBatch:
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             examples = list(pool.map(
                 lambda i: self._make_example(i, rng), indices))
@@ -134,8 +142,30 @@ class BatchLoader:
             [e[1] for e in examples],
             [self.ds.gt_classes[i] for i in indices],
             [e[2] for e in examples],
-            max_nodes=self.max_nodes, max_edges=self.max_edges,
+            max_nodes=max_nodes or self.max_nodes,
+            max_edges=max_edges or self.max_edges,
             images=images, im_hw=im_hw)
+
+    def _bucket_for(self, idx: int):
+        n = len(self.ds.gt_classes[idx])
+        for b in self.buckets:
+            if n <= b[0]:
+                return b
+        return self.buckets[-1]
+
+    def _bucketed_chunks(self, order):
+        """Group indices into per-bucket fixed-size chunks (stream order)."""
+        queues = {b: [] for b in self.buckets}
+        for idx in order:
+            b = self._bucket_for(idx)
+            queues[b].append(idx)
+            if len(queues[b]) == self.batch_size:
+                yield b, queues[b]
+                queues[b] = []
+        if not self.drop_last:
+            for b, q in queues.items():
+                if q:
+                    yield b, q
 
     def __iter__(self) -> Iterator[GraphBatch]:
         order = np.arange(len(self.ds))
@@ -144,20 +174,30 @@ class BatchLoader:
         if self.shuffle:
             rng.shuffle(order)
         n = len(self.ds)
-        ends = range(self.batch_size, n + 1, self.batch_size) \
-            if self.drop_last else range(self.batch_size,
-                                         n + self.batch_size, self.batch_size)
-        chunks = [order[max(0, e - self.batch_size):min(e, n)] for e in ends]
+        if self.buckets:
+            chunks = list(self._bucketed_chunks(order))
+        else:
+            ends = range(self.batch_size, n + 1, self.batch_size) \
+                if self.drop_last else range(self.batch_size,
+                                             n + self.batch_size,
+                                             self.batch_size)
+            chunks = [(None, order[max(0, e - self.batch_size):min(e, n)])
+                      for e in ends]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             try:
-                for chunk in chunks:
+                for bucket, chunk in chunks:
                     if stop.is_set():
                         return
-                    q.put(self._assemble(chunk, rng))
+                    if bucket is None:
+                        q.put(self._assemble(chunk, rng))
+                    else:
+                        q.put(self._assemble(chunk, rng,
+                                             max_nodes=bucket[0],
+                                             max_edges=bucket[1]))
             finally:
                 q.put(None)
 

@@ -94,3 +94,34 @@ def test_batch_loader_shuffles_across_epochs():
     e1 = [np.asarray(b.boxes).tobytes() for b in loader]
     e2 = [np.asarray(b.boxes).tobytes() for b in loader]
     assert e1 != e2  # reshuffled epoch 2
+
+
+def test_bucketed_batching():
+    rng = np.random.RandomState(7)
+    boxes, classes, rels = [], [], []
+    sizes = [2, 3, 3, 2, 9, 10, 9, 10, 2, 3]  # two size groups
+    for k in sizes:
+        b = rng.rand(k, 4).astype(np.float32) * 400
+        b[:, 2:] += b[:, :2] + 10
+        boxes.append(b)
+        classes.append(rng.randint(1, 9, k))
+        rels.append(np.asarray([[0, 1, rng.randint(1, 4)]], np.int32))
+    ds = SGGDataset(name="stanford", mode="train", filenames=[],
+                    images_dir="", gt_boxes=boxes, gt_classes=classes,
+                    relationships=rels,
+                    ind_to_classes=["bg"] + [f"c{i}" for i in range(8)],
+                    ind_to_predicates=["bg", "p1", "p2", "p3"])
+    loader = BatchLoader(ds, batch_size=2, max_nodes=16, max_edges=32,
+                         with_images=False, im_scale=64, shuffle=False,
+                         buckets=[(4, 8), (16, 32)])
+    shapes = [(b.max_nodes, b.max_edges, b.batch_size) for b in loader]
+    # small graphs pack into the (4, 8) bucket, big ones into (16, 32)
+    assert (4, 8, 2) in shapes and (16, 32, 2) in shapes
+    # all 10 images delivered (train drop_last drops incomplete buckets)
+    total = sum(s[2] for s in shapes)
+    assert total == 10  # 6 small + 4 big, both divisible by batch 2
+    for gb in BatchLoader(ds, batch_size=2, max_nodes=16, max_edges=32,
+                          with_images=False, im_scale=64, shuffle=False,
+                          buckets=[(4, 8), (16, 32)]):
+        n = np.asarray(gb.num_nodes())
+        assert (n <= gb.max_nodes).all()

@@ -1,0 +1,75 @@
+"""Multi-host (pod-slice) wiring: process init + global batch assembly.
+
+The reference's only distributed machinery is torch DDP utilities in the
+detector-pretraining path (``/root/reference/detector/utils.py:258-330``,
+NCCL env-var init, pickled-tensor all_gather). The TPU equivalent is
+process-level: ``jax.distributed.initialize`` joins the hosts, each host
+loads its shard of every batch, and ``make_array_from_process_local_data``
+assembles the global sharded arrays — gradients then reduce over ICI/DCN
+inside the jitted step via XLA collectives, with no user-level communication
+code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the multi-host job (no-op for single-process runs).
+
+    On Cloud TPU pods the arguments are auto-detected from the metadata
+    server; pass them explicitly elsewhere (reference analogue:
+    ``init_distributed_mode``, detector/utils.py:302-324).
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError) as e:
+        # already initialized / single-process environment
+        print(f"jax.distributed.initialize skipped: {e}")
+
+
+def process_local_indices(n: int, batch_size: int) -> np.ndarray:
+    """The slice of each global batch this host is responsible for."""
+    per_host = batch_size // jax.process_count()
+    start = jax.process_index() * per_host
+    return np.arange(start, start + per_host) % max(n, 1)
+
+
+def global_batch(local_batch, mesh: Mesh, axis_name: str = "data"):
+    """Assemble a globally-sharded GraphBatch from per-host local shards.
+
+    Each host passes its local (B/num_hosts, ...) batch; the result is a
+    global (B, ...) batch sharded over the mesh's data axis (single-process:
+    equivalent to ``shard_batch``).
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def place(x):
+        if x is None:
+            return None
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(place, local_batch)
+
+
+def host_mean(value: float, axis_name: str = "data") -> float:
+    """Cross-host scalar mean for metric aggregation (replaces the
+    reference's pickled-tensor all_gather, detector/utils.py:75-143)."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+    arr = multihost_utils.process_allgather(np.asarray([value]))
+    return float(np.mean(arr))

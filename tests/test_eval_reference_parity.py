@@ -53,7 +53,9 @@ def _load_reference_evaluator():
             import pickle
             sys.modules["dill"] = pickle
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        # append, not insert(0): the reference has root-level module names
+        # (pretrain_detector, main, config) that must not shadow ours
+        sys.path.append(REF)
     try:
         from lib.sgg_eval import BasicSceneGraphEvaluator  # noqa
     except Exception as e:  # pragma: no cover

@@ -101,7 +101,8 @@ def test_torch_reference_parity():
     torch = pytest.importorskip("torch")
     import sys
     if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+        # append: reference root-level module names must not shadow ours
+        sys.path.append("/root/reference")
     try:
         from lib.losses import edge_losses as ref_edge_losses
     except Exception as e:

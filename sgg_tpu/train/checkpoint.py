@@ -184,3 +184,62 @@ def import_torch_vgg(params, torch_state: Dict[str, "np.ndarray"],
             if b is not None:
                 flat[f"{head}/{ours}/bias"] = np.asarray(b)
     return optimistic_update(params, flat, verbose=verbose)
+
+
+# torchvision FasterRCNN(vgg16) state_dict -> our FasterRCNNVGG tree. The
+# reference loads such detector checkpoints before SGG training
+# (pytorch_misc.py:183-211, "sgdet refuses to start without one"); this map
+# lets the same checkpoints drive apples-to-apples parity runs here.
+_DETECTOR_DENSE = {
+    "roi_heads.box_head.fc6": "box_head/fc6",
+    "roi_heads.box_head.fc7": "box_head/fc7",
+    "roi_heads.box_predictor.cls_score": "cls_score",
+    "roi_heads.box_predictor.bbox_pred": "bbox_pred",
+}
+_DETECTOR_CONV = {
+    "rpn.head.conv": "rpn/conv",
+    "rpn.head.cls_logits": "rpn/cls_logits",
+    "rpn.head.bbox_pred": "rpn/bbox_pred",
+}
+
+
+def import_torch_faster_rcnn(params, torch_state: Dict[str, "np.ndarray"],
+                             verbose: bool = False):
+    """Transplant a torchvision ``FasterRCNN(vgg16)`` state_dict (as numpy)
+    into a ``FasterRCNNVGG`` param tree: backbone convs, RPN head, box head
+    and predictors."""
+    flat: Dict[str, np.ndarray] = {}
+    # backbone convs: torchvision stores them as backbone.{i}
+    for tname, ours in torch_vgg_key_map().items():
+        idx = tname.split(".")[1]
+        w = torch_state.get(f"backbone.{idx}.weight")
+        b = torch_state.get(f"backbone.{idx}.bias")
+        ours = ours.replace("trunk/", "trunk/")
+        if w is not None:
+            flat[f"{ours}/kernel"] = np.transpose(np.asarray(w), (2, 3, 1, 0))
+        if b is not None:
+            flat[f"{ours}/bias"] = np.asarray(b)
+    for tname, ours in _DETECTOR_CONV.items():
+        w = torch_state.get(f"{tname}.weight")
+        b = torch_state.get(f"{tname}.bias")
+        if w is not None:
+            flat[f"{ours}/kernel"] = np.transpose(np.asarray(w), (2, 3, 1, 0))
+        if b is not None:
+            flat[f"{ours}/bias"] = np.asarray(b)
+    for tname, ours in _DETECTOR_DENSE.items():
+        w = torch_state.get(f"{tname}.weight")
+        b = torch_state.get(f"{tname}.bias")
+        if w is not None:
+            flat[f"{ours}/kernel"] = np.asarray(w).T
+        if b is not None:
+            flat[f"{ours}/bias"] = np.asarray(b)
+    return optimistic_update(params, flat, verbose=verbose)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
+    """Read a .pth checkpoint into a {name: numpy} dict (CPU torch)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k: v.numpy() for k, v in state.items()
+            if hasattr(v, "numpy")}

@@ -90,3 +90,58 @@ def test_torch_vgg_import():
     got1 = np.asarray(new_params["trunk"]["Conv_1"]["kernel"])
     want1 = np.transpose(sd["features.2.weight"], (2, 3, 1, 0))
     np.testing.assert_allclose(got1, want1)
+
+
+def test_torch_faster_rcnn_import():
+    """Detector state_dict transplant: shapes map, values arrive transposed."""
+    from sgg_tpu.models.detector import FasterRCNNVGG
+    from sgg_tpu.train.checkpoint import import_torch_faster_rcnn
+
+    det = FasterRCNNVGG(num_classes=7, rpn_pre_nms_top_n=16,
+                        rpn_post_nms_top_n=8, detections_per_img=4,
+                        obj_dim=64, dtype=jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3))
+    hw = jnp.full((1, 2), 64.0)
+    variables = det.init(jax.random.key(0), img, hw, train=False)
+    rng = np.random.RandomState(0)
+    sd = {
+        "backbone.0.weight": rng.randn(64, 3, 3, 3).astype(np.float32),
+        "backbone.0.bias": rng.randn(64).astype(np.float32),
+        "rpn.head.conv.weight": rng.randn(512, 512, 3, 3).astype(np.float32),
+        "rpn.head.cls_logits.weight": rng.randn(15, 512, 1, 1).astype(
+            np.float32),
+        "roi_heads.box_head.fc6.weight": rng.randn(
+            64, 512 * 49).astype(np.float32),
+        "roi_heads.box_predictor.cls_score.weight": rng.randn(
+            7, 64).astype(np.float32),
+        "roi_heads.box_predictor.cls_score.bias": rng.randn(7).astype(
+            np.float32),
+    }
+    new = import_torch_faster_rcnn(variables["params"], sd)
+    np.testing.assert_allclose(
+        np.asarray(new["trunk"]["Conv_0"]["kernel"]),
+        np.transpose(sd["backbone.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        np.asarray(new["rpn"]["conv"]["kernel"]),
+        np.transpose(sd["rpn.head.conv.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        np.asarray(new["box_head"]["fc6"]["kernel"]),
+        sd["roi_heads.box_head.fc6.weight"].T)
+    np.testing.assert_allclose(
+        np.asarray(new["cls_score"]["bias"]),
+        sd["roi_heads.box_predictor.cls_score.bias"])
+    # untouched params stay
+    np.testing.assert_allclose(
+        np.asarray(new["bbox_pred"]["kernel"]),
+        np.asarray(variables["params"]["bbox_pred"]["kernel"]))
+
+
+def test_load_torch_state_dict(tmp_path):
+    torch = pytest.importorskip("torch")
+    sd = {"a.weight": torch.randn(2, 3), "meta": 5}
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"state_dict": sd}, path)
+    from sgg_tpu.train.checkpoint import load_torch_state_dict
+    out = load_torch_state_dict(path)
+    assert set(out) == {"a.weight"}
+    np.testing.assert_allclose(out["a.weight"], sd["a.weight"].numpy())

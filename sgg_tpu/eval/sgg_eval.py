@@ -222,7 +222,9 @@ class SGGEvaluator:
                 pred_rel_inds = gt_rels[:, :2]
                 rel_scores = np.zeros((len(gt_rels), rel_scores.shape[1]))
                 rel_scores[np.arange(len(gt_rels)), gt_rels[:, 2]] = 1
-        elif self.mode in ("sgdet", "phrdet"):
+        elif self.mode in ("sgdet", "phrdet", "preddet"):
+            # preddet only consumes pred_rel_inds/rel_scores; boxes pass
+            # through untouched (sgg_eval.py:164-191)
             pred_boxes = np.asarray(pred_entry["pred_boxes"], dtype=float)
             pred_classes = np.asarray(pred_entry["pred_classes"])
             obj_scores = np.asarray(pred_entry["obj_scores"])

@@ -140,3 +140,46 @@ def test_per_triplet_parity_with_reference():
     np.testing.assert_allclose(
         np.asarray(ref.result_dict["predcls_counts"], float),
         np.asarray(ours.rank_counts, float))
+
+
+@pytest.mark.parametrize("mode", ["phrdet", "preddet"])
+def test_vrd_modes_parity(mode):
+    """phrdet (union-box IoU matching) and preddet (GT-pair ranking) are
+    the reference's VRD-protocol modes (sgg_eval.py:47-49,160-191); both
+    run with multiple_preds=True there."""
+    RefEval = _load_reference_evaluator()
+    from sgg_tpu.eval import SGGEvaluator
+
+    rng = np.random.RandomState(11)
+    ref = RefEval(mode, multiple_preds=True)
+    ours = SGGEvaluator(mode, multiple_preds=True)
+    for _ in range(5):
+        gt, pred = _random_scene(rng, n_obj=rng.randint(4, 8),
+                                 n_gt=rng.randint(2, 6))
+        ref.evaluate_scene_graph_entry(gt, pred)
+        ours.add_image(gt, pred)
+    ref_res = {k: float(np.mean(v))
+               for k, v in ref.result_dict[mode + "_recall"].items()}
+    our_res = ours.mean_recalls()
+    for k in (20, 50, 100, 200, 300):
+        assert abs(ref_res[k] - our_res[k]) < 1e-9, (mode, k)
+
+
+def test_objcls_mode_parity():
+    """objcls: object classification quality assuming perfect predicates
+    (sgg_eval.py:150-158)."""
+    RefEval = _load_reference_evaluator()
+    from sgg_tpu.eval import SGGEvaluator
+
+    rng = np.random.RandomState(13)
+    ref = RefEval("objcls", multiple_preds=False)
+    ours = SGGEvaluator("objcls", multiple_preds=False)
+    for _ in range(4):
+        gt, pred = _random_scene(rng, n_obj=6, n_gt=4)
+        ref.evaluate_scene_graph_entry(gt, pred)
+        ours.add_image(gt, pred)
+    ref_res = {k: float(np.mean(v))
+               for k, v in ref.result_dict["objcls_recall"].items()}
+    our_res = ours.mean_recalls()
+    for k in (20, 50, 100):
+        assert abs(ref_res[k] - our_res[k]) < 1e-9, k

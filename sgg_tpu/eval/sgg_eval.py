@@ -294,24 +294,30 @@ class SGGEvaluator:
                            rel_scores, obj_scores, pred_boxes, pred_classes):
         """Per-GT-relation rank of its first matching prediction in the
         unconstrained ranking restricted to the same box pair
-        (reference sgg_eval.py:236-272)."""
+        (reference sgg_eval.py:236-272 — its "naive and slow" per-relation
+        ``evaluate_recall`` loop, vectorized here over (rankings x GT);
+        parity-tested against the reference in
+        tests/test_eval_reference_parity.py)."""
         ranked, _ = rank_predicted_rels(pred_rel_inds, rel_scores, obj_scores,
                                         multiple_preds=True, max_k=None)
+        iou = np_box_iou(pred_boxes.astype(float), gt_boxes.astype(float))
+        r_sub, r_obj, r_p = ranked[:, 0], ranked[:, 1], ranked[:, 2]
         for s, o, p in gt_rels:
             key = triplet_key(gt_classes[s], p, gt_classes[o])
-            count = self.triplet_counts.get(key, 0)
-            same_pair = ((ranked[:, 0] == s) & (ranked[:, 1] == o)) | \
-                        ((ranked[:, 0] == o) & (ranked[:, 1] == s))
-            cand = ranked[same_pair]
-            p2g = evaluate_recall(np.asarray([[s, o, p]]), gt_boxes,
-                                  gt_classes, cand, pred_boxes, pred_classes)
-            rank = float(MAX_RECALL_K + 1)
-            for r, matches in enumerate(p2g):
-                if matches:
-                    rank = float(r)
-                    break
+            same_pair = ((r_sub == s) & (r_obj == o)) | \
+                        ((r_sub == o) & (r_obj == s))
+            match = (same_pair & (r_p == p)
+                     & (pred_classes[r_sub] == gt_classes[s])
+                     & (pred_classes[r_obj] == gt_classes[o])
+                     & (iou[r_sub, s] >= 0.5) & (iou[r_obj, o] >= 0.5))
+            hits = np.nonzero(match)[0]
+            if hits.size:
+                # rank within the same-pair candidate subset
+                rank = float(same_pair[:hits[0]].sum())
+            else:
+                rank = float(MAX_RECALL_K + 1)
             self.ranks.append(rank)
-            self.rank_counts.append(float(count))
+            self.rank_counts.append(float(self.triplet_counts.get(key, 0)))
             self.triplet_ranks.setdefault(key, []).append(rank)
 
     # -- reporting (reference print_stats, sgg_eval.py:65-120)

@@ -81,6 +81,36 @@ def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
     return canvas, boxes, rels, (ch, cw)
 
 
+def device_prefetch(iterator, size: int = 2):
+    """Overlap host→device transfer with compute: eagerly ``device_put`` the
+    next ``size`` batches while the current one executes (the jax analogue
+    of the reference's CUDA-stream prefetch in the DataLoader workers)."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if x is not None else None, item))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
+def to_image_dtype(batch: GraphBatch, dtype: str) -> GraphBatch:
+    """Cast images for transfer (bf16 halves the H2D volume; the model
+    casts to its compute dtype anyway)."""
+    if batch.images is None or dtype == "float32":
+        return batch
+    import ml_dtypes
+    import dataclasses
+    images = np.asarray(batch.images).astype(ml_dtypes.bfloat16)
+    return dataclasses.replace(batch, images=images)
+
+
 class BatchLoader:
     """Iterable over padded GraphBatches with threaded decode + prefetch."""
 

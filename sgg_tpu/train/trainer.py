@@ -241,11 +241,14 @@ class Trainer:
                              num_workers=cfg.num_workers,
                              with_images=self.with_images)
         loader._epoch = epoch
+        from sgg_tpu.data.pipeline import device_prefetch, to_image_dtype
+        batches = device_prefetch(
+            (to_image_dtype(b, cfg.compute_dtype) for b in loader))
         accum = defaultdict(list)
         epoch_means = defaultdict(list)
         t0 = time.time()
         key = jax.random.key(cfg.seed * 100003 + epoch)
-        for b_i, batch in enumerate(loader):
+        for b_i, batch in enumerate(batches):
             key, sub = jax.random.split(key)
             if self.gan_state is not None:
                 fake = batch.classes

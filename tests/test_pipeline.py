@@ -125,3 +125,17 @@ def test_bucketed_batching():
                           buckets=[(4, 8), (16, 32)]):
         n = np.asarray(gb.num_nodes())
         assert (n <= gb.max_nodes).all()
+
+
+def test_device_prefetch_and_bf16_images():
+    import jax
+    from sgg_tpu.data.pipeline import device_prefetch, to_image_dtype
+    ds = _fake_dataset(6)
+    loader = BatchLoader(ds, batch_size=2, max_nodes=8, max_edges=8,
+                         with_images=False, im_scale=32)
+    batches = list(device_prefetch(
+        (to_image_dtype(b, "bfloat16") for b in loader), size=2))
+    assert len(batches) == 3
+    for gb in batches:
+        assert str(gb.images.dtype) == "bfloat16"
+        assert isinstance(gb.boxes, jax.Array)

@@ -19,7 +19,7 @@ pure data-dependent control flow that has no business inside jit.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

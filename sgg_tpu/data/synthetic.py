@@ -12,7 +12,7 @@ benchmarkable without the real datasets.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

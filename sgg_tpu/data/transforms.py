@@ -13,7 +13,7 @@ likewise defined but unused, image_transforms.py:16-132).
 from __future__ import annotations
 
 import random
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 

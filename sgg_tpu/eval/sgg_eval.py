@@ -32,7 +32,7 @@ reporting-grade evaluator. The fast on-device validation-loop recall lives in
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

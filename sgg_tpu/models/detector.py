@@ -16,7 +16,7 @@ does all of this in C++/Python with dynamic shapes).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

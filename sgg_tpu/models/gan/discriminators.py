@@ -9,7 +9,7 @@ and an optional ``largeD`` widening (extra 1x1 convs).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

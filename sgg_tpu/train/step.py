@@ -11,7 +11,7 @@ SURVEY.md §3.1).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

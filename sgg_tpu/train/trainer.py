@@ -110,7 +110,6 @@ class Trainer:
         from sgg_tpu.constants import IM_SCALE, STRIDE
         from sgg_tpu.models.gan import GANModel
         from sgg_tpu.ops.boxes import scale_boxes_01
-        from sgg_tpu.train.assign import sample_edges as _se
         from sgg_tpu.train.gan_step import (create_gan_state,
                                             make_gan_train_step)
 

@@ -106,6 +106,9 @@ class Config:
     max_edges: int = constants.MAX_EDGES
     # Compute dtype for the backbone / heads ("bfloat16" or "float32").
     compute_dtype: str = "bfloat16"
+    # Image transfer format: 'uint8' ships raw bytes and normalizes on
+    # device (4x less H2D traffic); 'float32' normalizes on the host.
+    image_format: str = "uint8"
     # Data-parallel mesh axis name.
     dp_axis: str = "data"
 
@@ -235,6 +238,8 @@ def setup_parser() -> ArgumentParser:
     p.add_argument("-max_edges", dest="max_edges", type=int, default=constants.MAX_EDGES)
     p.add_argument("-dtype", dest="compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("-image_format", dest="image_format", type=str,
+                   default="uint8", choices=["uint8", "float32"])
     return p
 
 

@@ -100,12 +100,16 @@ def pack_ragged(per_image_boxes, per_image_classes, per_image_rels,
         else:
             im_hw = np.ones((B, 2), np.float32)
 
+    # HOST-side numpy arrays: device placement is the consumer's job
+    # (sgg_tpu.data.pipeline.device_prefetch / jit transfer). Packing must
+    # not touch the device — with a tunneled TPU an eager device_put here
+    # costs a 100MB round trip per batch.
     return GraphBatch(
-        images=None if images is None else jnp.asarray(images),
-        im_hw=jnp.asarray(im_hw, dtype=jnp.float32),
-        boxes=jnp.asarray(pb),
-        classes=jnp.asarray(pc),
-        node_mask=jnp.asarray(pnm.astype(bool)),
-        rels=jnp.asarray(pr),
-        rel_mask=jnp.asarray(prm.astype(bool)),
+        images=images,
+        im_hw=np.asarray(im_hw, np.float32),
+        boxes=pb,
+        classes=pc,
+        node_mask=pnm.astype(bool),
+        rels=pr,
+        rel_mask=prm.astype(bool),
     )

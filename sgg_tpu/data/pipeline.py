@@ -37,13 +37,16 @@ def load_image(path: str) -> np.ndarray:
 def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
                     box_coordinates: str, is_train: bool,
                     rng: np.random.RandomState, im_scale: int = IM_SCALE,
-                    filter_duplicates: bool = True):
+                    filter_duplicates: bool = True, uint8: bool = False):
     """One example: resize+normalize+pad image, scale+clip+flip boxes.
 
     Returns (padded image (S, S, 3), boxes in padded-frame pixels, rels,
     (content_h, content_w)). Box scaling follows visual_genome.py:377-455:
     stanford boxes live at BOX_SCALE along the longest side; native boxes in
     original pixels.
+
+    With ``uint8=True`` the canvas stays raw uint8 (ImageNet-mean padding)
+    and normalization happens on device — 4x less host→device traffic.
     """
     h, w = image.shape[:2]
     s = im_scale / max(h, w)
@@ -71,9 +74,14 @@ def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
         x2 = cw - boxes[:, 0].copy()
         boxes[:, 0], boxes[:, 2] = x1, x2
 
-    img = (img - IMAGENET_MEAN) / IMAGENET_STD
-    canvas = np.zeros((im_scale, im_scale, 3), np.float32)
-    canvas[:ch, :cw] = img
+    if uint8:
+        canvas = np.empty((im_scale, im_scale, 3), np.uint8)
+        canvas[:] = (IMAGENET_MEAN * 255).astype(np.uint8)
+        canvas[:ch, :cw] = np.round(img * 255).astype(np.uint8)
+    else:
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        canvas = np.zeros((im_scale, im_scale, 3), np.float32)
+        canvas[:ch, :cw] = img
 
     if is_train and filter_duplicates and len(rels):
         rels = filter_duplicate_rels(rels, rng)
@@ -103,7 +111,8 @@ def device_prefetch(iterator, size: int = 2):
 def to_image_dtype(batch: GraphBatch, dtype: str) -> GraphBatch:
     """Cast images for transfer (bf16 halves the H2D volume; the model
     casts to its compute dtype anyway)."""
-    if batch.images is None or dtype == "float32":
+    if batch.images is None or dtype == "float32" or \
+            batch.images.dtype == np.uint8:
         return batch
     import ml_dtypes
     import dataclasses
@@ -119,7 +128,7 @@ class BatchLoader:
                  drop_last: Optional[bool] = None, num_workers: int = 4,
                  prefetch: int = 2, seed: int = 0,
                  with_images: bool = True, im_scale: int = IM_SCALE,
-                 buckets=None):
+                 buckets=None, image_format: str = "float32"):
         """``buckets``: optional ascending list of (max_nodes, max_edges)
         shape buckets. Images are grouped into the smallest bucket whose
         node capacity fits them, so small graphs stop paying the global
@@ -138,6 +147,10 @@ class BatchLoader:
         self.seed = seed
         self.with_images = with_images
         self.im_scale = im_scale
+        # 'float32' = normalized on host; 'uint8' = raw bytes, normalized
+        # on device (4x less H2D traffic)
+        assert image_format in ("float32", "uint8"), image_format
+        self.image_format = image_format
         self._epoch = 0
 
     def __len__(self):
@@ -159,7 +172,8 @@ class BatchLoader:
             img, self.ds.gt_boxes[idx], self.ds.relationships[idx],
             self.ds.box_coordinates, self.ds.is_train, rng,
             im_scale=self.im_scale,
-            filter_duplicates=self.ds.filter_duplicates)
+            filter_duplicates=self.ds.filter_duplicates,
+            uint8=self.image_format == "uint8")
 
     def _assemble(self, indices, rng, max_nodes=None,
                   max_edges=None) -> GraphBatch:

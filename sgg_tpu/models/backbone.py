@@ -18,6 +18,24 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_images(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side ImageNet normalization for raw uint8 batches.
+
+    Float inputs are assumed pre-normalized by the host pipeline; uint8
+    inputs (the low-bandwidth transfer format, see
+    sgg_tpu.data.pipeline) are normalized here, fused into the first conv
+    by XLA."""
+    if x.dtype != jnp.uint8:
+        return x
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    return (x.astype(jnp.float32) - mean) / std
+
+
 # torchvision vgg16.features channel plan; 'M' = 2x2 maxpool
 # (the final 'M' of VGG16 is removed, rel_model_base.py:312).
 VGG16_CFG: Sequence[Any] = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
@@ -31,7 +49,7 @@ class VGG16Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x.astype(self.dtype)
+        x = normalize_images(x).astype(self.dtype)
         for v in VGG16_CFG:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))

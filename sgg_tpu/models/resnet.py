@@ -60,7 +60,8 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
-        x = x.astype(self.dtype)
+        from sgg_tpu.models.backbone import normalize_images
+        x = normalize_images(x).astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=not train,

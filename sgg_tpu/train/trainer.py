@@ -238,7 +238,8 @@ class Trainer:
                              max_nodes=cfg.max_nodes,
                              max_edges=cfg.max_edges, seed=cfg.seed,
                              num_workers=cfg.num_workers,
-                             with_images=self.with_images)
+                             with_images=self.with_images,
+                             image_format=cfg.image_format)
         loader._epoch = epoch
         from sgg_tpu.data.pipeline import device_prefetch, to_image_dtype
         batches = device_prefetch(

@@ -62,6 +62,7 @@ def main():
                              image_size=IMG, with_images=True, seed=0)
     gb = ds.batch(list(range(BATCH)), max_nodes=MAX_NODES,
                   max_edges=MAX_EDGES)
+    gb = jax.device_put(gb)  # batches are host-resident by design
     sampled, pmask = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
                                   gb.node_mask, max_out=MAX_EDGES)
     variables = model.init(jax.random.key(0), gb.images, gb.boxes,

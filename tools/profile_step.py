@@ -48,7 +48,7 @@ def main():
     ds = SyntheticSGGDataset(num_images=B, num_classes=151,
                              num_predicates=51, max_objects=20,
                              image_size=IMG, with_images=True, seed=0)
-    gb = ds.batch(list(range(B)), max_nodes=N, max_edges=E)
+    gb = jax.device_put(ds.batch(list(range(B)), max_nodes=N, max_edges=E))
     config = Config(batch_size=B, max_nodes=N, max_edges=E, mode="sgcls",
                     loss="dnorm")
     model = RelModelIMP(num_classes=151, num_predicates=51, mode="sgcls",

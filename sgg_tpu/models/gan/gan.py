@@ -80,6 +80,10 @@ class Generator(nn.Module):
     n_layers: int = 5
     batch_norm: bool = True
     vis_cond: bool = False
+    # optional GloVe initialization of the class/predicate embeddings
+    # (reference -init_embed, gan.py:146-159)
+    init_embed_objs: Optional[Any] = None
+    init_embed_rels: Optional[Any] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,10 +102,20 @@ class Generator(nn.Module):
         classes_d, boxes_d, edges, node_mask_d, edge_mask = add_dummy_nodes(
             classes, boxes01, rels, node_mask, rel_mask)
 
+        def embed_init(table):
+            if table is None:
+                return nn.initializers.normal(stddev=1.0)
+            import numpy as onp
+            arr = onp.asarray(table, onp.float32)
+            return lambda *_: jnp.asarray(arr)
+
         obj_vecs = nn.Embed(self.num_classes, self.embed_dim,
-                            dtype=self.dtype, name="obj_embed")(classes_d)
+                            dtype=self.dtype,
+                            embedding_init=embed_init(self.init_embed_objs),
+                            name="obj_embed")(classes_d)
         pred_vecs = nn.Embed(self.num_predicates, self.embed_dim,
                              dtype=self.dtype,
+                             embedding_init=embed_init(self.init_embed_rels),
                              name="rel_embed")(edges[..., 2])
 
         node_in = jnp.concatenate(
@@ -153,6 +167,8 @@ class GANModel(nn.Module):
     batch_norm: bool = True
     vis_cond: bool = False
     largeD: bool = False
+    init_embed_objs: Optional[Any] = None
+    init_embed_rels: Optional[Any] = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -163,7 +179,10 @@ class GANModel(nn.Module):
                            pool_sz=self.pool_sz, fmap_sz=self.fmap_sz,
                            n_layers=self.n_layers_G,
                            batch_norm=self.batch_norm,
-                           vis_cond=self.vis_cond, dtype=self.dtype)
+                           vis_cond=self.vis_cond,
+                           init_embed_objs=self.init_embed_objs,
+                           init_embed_rels=self.init_embed_rels,
+                           dtype=self.dtype)
         self.D_nodes = CondPatchDiscriminator(n_ch=self.n_ch,
                                               dtype=self.dtype)
         self.D_edges = CondPatchDiscriminator(n_ch=self.n_ch,

@@ -138,12 +138,13 @@ class RelModelIMP(nn.Module):
     # with obj_dim 1024 (reference rel_model_base.py:58-81,239 — the
     # MultiScaleRoIAlign receives only result.fmap wrapped as one level).
     backbone: str = "vgg16"
+    edge_model: str = "motifs"  # {motifs, raw_boxes} (config.py:179-180)
     dtype: Any = jnp.bfloat16
     freq_table: Optional[np.ndarray] = None  # (C, C, R) log distribution
 
     @nn.compact
     def __call__(self, images, boxes, classes, pairs, pair_mask, *,
-                 fmap=None, train: bool = False,
+                 fmap=None, im_hw=None, train: bool = False,
                  mode: Optional[str] = None, return_feats: bool = False):
         """Forward pass over a padded batch.
 
@@ -196,8 +197,10 @@ class RelModelIMP(nn.Module):
         pair_boxes = jnp.concatenate([b_s, b_o], axis=-1)
         union_feats = UnionBoxFeats(dim=fmap.shape[-1],
                                     pooling_size=self.pool_size,
+                                    edge_model=self.edge_model,
                                     dtype=self.dtype, name="union_feats")
-        union_pool = union_pool + union_feats(pair_boxes, train=train)
+        union_pool = union_pool + union_feats(pair_boxes, im_hw=im_hw,
+                                              train=train)
 
         node_feat = RoiHead(out_dim=self.obj_dim, with_final_relu=True,
                             dtype=self.dtype,

@@ -25,14 +25,22 @@ from sgg_tpu.ops.rects import draw_union_rects
 
 
 class UnionBoxFeats(nn.Module):
-    """rects conv branch; call with pair boxes, add result to union pools."""
+    """rects conv branch; call with pair boxes, add result to union pools.
+
+    ``edge_model='motifs'``: union-frame anti-aliased rasterization (the
+    Cython kernel's semantics). ``'raw_boxes'``: each box rasterized in the
+    whole-image [0,1] frame via grid sampling (reference
+    ``draw_union_boxes_grid``, get_union_boxes.py:105-116) — requires
+    ``im_hw`` for the [0,1] scaling (get_union_boxes.py:68-78).
+    """
 
     dim: int = 512
     pooling_size: int = 7
+    edge_model: str = "motifs"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, pair_boxes: jnp.ndarray, *,
+    def __call__(self, pair_boxes: jnp.ndarray, *, im_hw=None,
                  train: bool = False) -> jnp.ndarray:
         """pair_boxes: (B, E, 8) subject+object boxes in image pixels.
 
@@ -40,7 +48,20 @@ class UnionBoxFeats(nn.Module):
         masks (to be added to RoIAligned union features).
         """
         P = self.pooling_size * 4 - 1  # 27 (get_union_boxes.py:67)
-        rects = draw_union_rects(pair_boxes, P) - 0.5  # (B, E, 2, P, P)
+        if self.edge_model == "raw_boxes":
+            assert im_hw is not None, "raw_boxes needs per-image (h, w)"
+            from sgg_tpu.ops.grid_sample import (boxes01_to_grid,
+                                                 grid_sample_2d)
+            from sgg_tpu.ops.boxes import scale_boxes_01
+            boxes = pair_boxes.reshape(*pair_boxes.shape[:-1], 2, 4)
+            boxes01 = scale_boxes_01(
+                boxes.reshape(boxes.shape[0], -1, 4), im_hw)
+            grid = boxes01_to_grid(boxes01, P, P)
+            ones = jnp.ones((*boxes01.shape[:-1], P, P, 1), jnp.float32)
+            masks = grid_sample_2d(ones, grid)[..., 0]
+            rects = masks.reshape(*pair_boxes.shape[:-1], 2, P, P) - 0.5
+        else:
+            rects = draw_union_rects(pair_boxes, P) - 0.5  # (B, E, 2, P, P)
         B, E = rects.shape[:2]
         x = rects.reshape(B * E, 2, P, P).transpose(0, 2, 3, 1)  # NHWC
         x = x.astype(self.dtype)

@@ -39,7 +39,7 @@ def make_train_step(model, config: Config):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch.images, batch.boxes, batch.classes, pairs, pair_mask,
-                train=True, rngs={"dropout": k_dropout},
+                im_hw=batch.im_hw, train=True, rngs={"dropout": k_dropout},
                 mutable=["batch_stats"])
             losses = {}
             losses.update(node_losses(out["obj_logits"], batch.classes,
@@ -72,7 +72,8 @@ def make_eval_step(model, mode: str = None):
     def eval_step(variables, batch: GraphBatch):
         pairs, pair_mask = all_pairs(batch.node_mask)
         out = model.apply(variables, batch.images, batch.boxes, batch.classes,
-                          pairs, pair_mask, train=False, mode=mode)
+                          pairs, pair_mask, im_hw=batch.im_hw, train=False,
+                          mode=mode)
         out["pairs"] = pairs
         out["pair_mask"] = pair_mask
         out["rel_dists"] = jax.nn.softmax(out["rel_logits"], axis=-1)

@@ -55,7 +55,8 @@ def build_model(config: Config, train_data: SGGDataset) -> RelModelIMP:
         num_predicates=train_data.num_predicates,
         mode=config.mode, use_bias=config.use_bias,
         test_bias=config.test_bias, obj_dim=obj_dim,
-        backbone=config.backbone, dtype=dtype, freq_table=freq_table)
+        backbone=config.backbone, edge_model=config.edge_model,
+        dtype=dtype, freq_table=freq_table)
 
 
 class Trainer:
@@ -116,11 +117,20 @@ class Trainer:
         cfg = self.config
         td = self.train_data
         if gan_model is None:
+            emb_o = emb_r = None
+            if cfg.init_embed:
+                from sgg_tpu.data.word_vectors import \
+                    normalized_class_embeddings
+                emb_o = normalized_class_embeddings(td.ind_to_classes,
+                                                    wv_dir=cfg.data)
+                emb_r = normalized_class_embeddings(td.ind_to_predicates,
+                                                    wv_dir=cfg.data)
             gan_model = GANModel(
                 num_classes=td.num_classes,
                 num_predicates=td.num_predicates,
                 fmap_sz=IM_SCALE // STRIDE,
-                vis_cond=cfg.vis_cond is not None, largeD=cfg.largeD)
+                vis_cond=cfg.vis_cond is not None, largeD=cfg.largeD,
+                init_embed_objs=emb_o, init_embed_rels=emb_r)
         self.gan = gan_model
 
         loader = BatchLoader(td, batch_size=min(cfg.batch_size,

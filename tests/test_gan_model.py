@@ -126,3 +126,20 @@ def test_gan_generate_and_discriminate_shapes():
     # G_/D_ param partition exists at the top level
     top = set(variables["params"].keys())
     assert "G" in top and {"D_nodes", "D_edges", "D_global"} <= top
+
+
+def test_init_embed_initializes_embeddings():
+    from sgg_tpu.data.word_vectors import normalized_class_embeddings
+    names = ["__background__"] + [f"class_{i}" for i in range(1, 10)]
+    emb_o = normalized_class_embeddings(names, wv_dim=200)
+    gan = GANModel(num_classes=10, num_predicates=6, hidden_dim=8, n_ch=32,
+                   fmap_sz=24, n_layers_G=2, init_embed_objs=emb_o)
+    rng = np.random.RandomState(0)
+    classes = jnp.asarray(rng.randint(1, 10, (1, 4)))
+    boxes01 = jnp.asarray(rng.rand(1, 4, 4), jnp.float32)
+    rels = jnp.asarray([[[0, 1, 2]]])
+    variables = gan.init(jax.random.key(0), classes, boxes01, rels,
+                         jnp.ones((1, 4), bool), jnp.ones((1, 1), bool),
+                         train=False, method=gan.init_all)
+    got = np.asarray(variables["params"]["G"]["obj_embed"]["embedding"])
+    np.testing.assert_allclose(got, emb_o, atol=1e-6)

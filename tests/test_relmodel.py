@@ -143,3 +143,14 @@ def test_gradients_flow_and_trunk_frozen():
         elif float(jnp.abs(g).max()) > 0:
             nonzero += 1
     assert zero_trunk > 0 and nonzero > 0
+
+
+def test_raw_boxes_edge_model():
+    """The grid-sample rects variant (reference edge_model=raw_boxes)."""
+    gb, pairs, _, pmask = _tiny_batch()
+    model = _tiny_model(edge_model="raw_boxes")
+    params = model.init(jax.random.key(0), gb.images, gb.boxes, gb.classes,
+                        pairs, pmask, im_hw=gb.im_hw, train=False)
+    out = model.apply(params, gb.images, gb.boxes, gb.classes, pairs, pmask,
+                      im_hw=gb.im_hw, train=False)
+    assert np.isfinite(np.asarray(out["rel_logits"])).all()

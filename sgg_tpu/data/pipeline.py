@@ -89,19 +89,27 @@ def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
     return canvas, boxes, rels, (ch, cw)
 
 
-def device_prefetch(iterator, size: int = 2):
+def device_prefetch(iterator, size: int = 2, sharding=None):
     """Overlap host→device transfer with compute: eagerly ``device_put`` the
     next ``size`` batches while the current one executes (the jax analogue
-    of the reference's CUDA-stream prefetch in the DataLoader workers)."""
+    of the reference's CUDA-stream prefetch in the DataLoader workers).
+    ``sharding``: optional jax sharding for the leading (batch) axis —
+    data-parallel placement happens right at the transfer."""
     import collections
 
     import jax
     import jax.numpy as jnp
 
+    def place(x):
+        if x is None:
+            return None
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return jnp.asarray(x)
+
     buf = collections.deque()
     for item in iterator:
-        buf.append(jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x) if x is not None else None, item))
+        buf.append(jax.tree_util.tree_map(place, item))
         if len(buf) > size:
             yield buf.popleft()
     while buf:

@@ -82,9 +82,21 @@ class Trainer:
                 "sgdet training needs a (pretrained) detector — pass "
                 "detector/det_variables (see pretrain_detector.py)")
 
+        # data-parallel mesh over the available devices (the reference
+        # asserts a single GPU, config.py:71; we shard the batch axis)
+        self.mesh = None
+        n_dev = config.num_devices or len(jax.devices())
+        if n_dev > 1 and len(jax.devices()) >= n_dev \
+                and config.batch_size % n_dev == 0:
+            from sgg_tpu.parallel import make_mesh
+            self.mesh = make_mesh(n_dev, axis_name=config.dp_axis)
+
         self.steps_per_epoch = max(
             len(self.train_data) // config.batch_size, 1)
         self.state = self._init_state()
+        if self.mesh is not None:
+            from sgg_tpu.parallel import replicate
+            self.state = replicate(self.state, self.mesh)
         if config.mode == "sgdet":
             from sgg_tpu.models.sgdet import make_sgdet_train_step
             self.train_step = make_sgdet_train_step(
@@ -252,8 +264,13 @@ class Trainer:
                              image_format=cfg.image_format)
         loader._epoch = epoch
         from sgg_tpu.data.pipeline import device_prefetch, to_image_dtype
+        sharding = None
+        if self.mesh is not None:
+            from sgg_tpu.parallel import batch_sharding
+            sharding = batch_sharding(self.mesh, cfg.dp_axis)
         batches = device_prefetch(
-            (to_image_dtype(b, cfg.compute_dtype) for b in loader))
+            (to_image_dtype(b, cfg.compute_dtype) for b in loader),
+            sharding=sharding)
         accum = defaultdict(list)
         epoch_means = defaultdict(list)
         t0 = time.time()

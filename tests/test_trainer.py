@@ -80,3 +80,23 @@ def test_resume_from_checkpoint(tmp_path):
     a = np.asarray(t1.state.params["imp"]["obj_fc"]["kernel"])
     b = np.asarray(t2.state.params["imp"]["obj_fc"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_trainer_data_parallel_mesh():
+    """Trainer shards batches over all 8 virtual devices when num_devices
+    allows it."""
+    import jax
+    assert len(jax.devices()) == 8
+    config = Config(batch_size=8, max_nodes=8, max_edges=12, mode="sgcls",
+                    num_epochs=1, val_size=0, notest=True,
+                    compute_dtype="float32", num_devices=8)
+    splits = _splits()
+    model = RelModelIMP(num_classes=9, num_predicates=5, mode="sgcls",
+                        hidden_dim=16, obj_dim=32, dtype=jnp.float32)
+    trainer = Trainer(config, splits, model=model, with_images=False)
+    assert trainer.mesh is not None
+    losses = trainer.train_epoch(0)
+    assert np.isfinite(losses["total"])
+    # params stay replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8

@@ -298,8 +298,14 @@ class FasterRCNNFPN(nn.Module):
             # the relation head's global feature map: last pyramid level
             "fmap": pyramid["pool"], "pyramid": pyramid,
             "proposals": proposals, "prop_mask": prop_mask,
-            "rpn_obj_logits": obj_logits_lvl, "rpn_deltas": deltas_lvl,
-            "anchors": anchors_per_level,
+            "rpn_obj_logits": jnp.concatenate(
+                [obj_logits_lvl[l] for l in self.LEVELS], axis=1),
+            "rpn_deltas": jnp.concatenate(
+                [deltas_lvl[l] for l in self.LEVELS], axis=1),
+            "anchors": jnp.concatenate(
+                [anchors_per_level[l] for l in self.LEVELS], axis=0),
+            "rpn_per_level": (obj_logits_lvl, deltas_lvl,
+                              anchors_per_level),
             "class_logits": class_logits, "box_deltas": box_deltas,
         })
         return dets

@@ -86,3 +86,29 @@ def test_relmodel_resnet50_backbone():
     assert out["rel_logits"].shape == (2, 10, 5)
     assert np.isfinite(np.asarray(out["obj_logits"])).all()
     assert "trunk" in variables["params"]  # frozen partition label applies
+
+
+def test_fpn_detector_trains():
+    """FPN detector works under the pretraining losses (concat RPN)."""
+    from sgg_tpu.models.detector import roi_head_losses, rpn_losses
+    rng = np.random.RandomState(2)
+    det = FasterRCNNFPN(num_classes=7, rpn_pre_nms_top_n=32,
+                        rpn_post_nms_top_n=16, detections_per_img=8,
+                        obj_dim=48, dtype=jnp.float32, score_thresh=0.01)
+    images = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+    im_hw = jnp.full((1, 2), 128.0)
+    variables = det.init(jax.random.key(0), images, im_hw, train=False)
+    out = det.apply(variables, images, im_hw, train=False)
+    gt_boxes = jnp.asarray(rng.rand(1, 3, 4) * 60, jnp.float32)
+    gt_boxes = gt_boxes.at[..., 2:].set(gt_boxes[..., :2] + 30)
+    gt_classes = jnp.asarray(rng.randint(1, 7, (1, 3)))
+    gt_mask = jnp.ones((1, 3), bool)
+    rl = rpn_losses(jax.random.key(1), out["anchors"],
+                    out["rpn_obj_logits"], out["rpn_deltas"], gt_boxes,
+                    gt_mask)
+    hl = roi_head_losses(jax.random.key(2), out["proposals"],
+                         out["prop_mask"], out["class_logits"],
+                         out["box_deltas"], gt_boxes, gt_classes, gt_mask)
+    for d in (rl, hl):
+        for k, v in d.items():
+            assert np.isfinite(float(v)), (k, v)

@@ -299,3 +299,51 @@ def test_build_eval_splits_generic():
     train_keys = set(splits["train"].triplet_counts)
     for ck in splits["val_zs"].triplet_counts:
         assert ck not in train_keys
+
+
+def test_gqa_full_splits(tmp_path):
+    """gqa.splits end to end over a synthetic GQA directory."""
+    rng = np.random.RandomState(9)
+    base = tmp_path / "GQA" / "sceneGraphs"
+    base.mkdir(parents=True)
+    cls_names = ["cat", "dog", "tree", "car"]
+    pred_names = ["on", "under", "near"]
+    train_sgs = {f"t{i}": _gqa_sg(rng, cls_names, pred_names, n_obj=4)
+                 for i in range(16)}
+    val_sgs = {f"v{i}": _gqa_sg(rng, cls_names, pred_names, n_obj=4)
+               for i in range(6)}
+    (base / "train_sceneGraphs.json").write_text(json.dumps(train_sgs))
+    (base / "val_sceneGraphs.json").write_text(json.dumps(val_sgs))
+    for mode, sgs in (("train", train_sgs), ("val", val_sgs)):
+        qs = {f"q{i}": {"imageId": imid}
+              for i, imid in enumerate(sgs.keys())}
+        (tmp_path / "GQA" / f"{mode}_balanced_questions.json").write_text(
+            json.dumps(qs))
+
+    splits = gqa.splits(str(tmp_path), num_val_im=4)
+    assert set(splits) == {"train", "val_zs", "val_alls", "test_zs",
+                           "test_alls"}
+    assert len(splits["train"]) > 0 and len(splits["test_alls"]) > 0
+    # image-id cache file was produced (visual_genome.py:110-130 behavior)
+    assert (tmp_path / "GQA" / "train_images.json").exists()
+    # zero-shot val excludes training triplets
+    tt = set(splits["train"].triplet_counts)
+    for k in splits["val_zs"].triplet_counts:
+        assert k not in tt
+
+
+def test_vte_full_splits(vte_h5, tmp_path):
+    import os
+    d = os.path.dirname(vte_h5)
+    # arrange the expected layout {data}/VG/vtranse/vg1_2_meta.h5
+    base = tmp_path / "data" / "VG" / "vtranse"
+    base.mkdir(parents=True)
+    os.rename(vte_h5, base / "vg1_2_meta.h5")
+    (tmp_path / "data" / "VG" / "VG_100K").mkdir()
+    splits = vtranse.splits(str(tmp_path / "data"), num_val_im=3)
+    assert set(splits) == {"train", "val_zs", "val_alls", "test_zs",
+                           "test_alls"}
+    assert len(splits["train"]) > 0
+    tt = set(splits["train"].triplet_counts)
+    for k in splits["val_zs"].triplet_counts:
+        assert k not in tt

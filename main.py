@@ -33,7 +33,10 @@ def main():
         from sgg_tpu.data import visual_genome as dsmod
         splits = dsmod.splits(config.data, num_val_im=config.val_size,
                               min_graph_size=config.min_graph_size,
-                              max_graph_size=config.max_graph_size)
+                              max_graph_size=config.max_graph_size,
+                              # non-overlap filtering is an sgdet-only train
+                              # filter (reference main.py:47)
+                              filter_non_overlap=config.mode == "sgdet")
     elif config.split == "gqa":
         from sgg_tpu.data import gqa as dsmod
         splits = dsmod.splits(config.data, num_val_im=config.val_size,

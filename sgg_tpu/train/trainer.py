@@ -345,8 +345,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, val_names=("val_zs", "val_alls"),
             test_names=("test_zs", "test_10s", "test_100s", "test_alls"),
-            val_batches: int = -1) -> Dict[str, float]:
-        """Full run: epochs + per-epoch val + final test (main.py:244-288)."""
+            val_batches: int = -1, val_every: int = 5) -> Dict[str, float]:
+        """Full run: epochs + periodic val + final test (main.py:244-288).
+
+        Validation runs after the first epoch and then every ``val_every``
+        epochs (the reference evaluates every 5 epochs because evaluation
+        is slow and noisy, main.py:258-259)."""
         cfg = self.config
         for epoch in range(self.start_epoch, cfg.num_epochs):
             losses = self.train_epoch(epoch)
@@ -354,7 +358,10 @@ class Trainer:
                   " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
             if cfg.save_dir:
                 self._save(epoch)
-            if cfg.val_size != 0:
+            run_val = (epoch == self.start_epoch
+                       or (epoch % val_every == 0
+                           and epoch < cfg.num_epochs - 1))
+            if cfg.val_size != 0 and run_val:
                 self.evaluate(val_names, n_batches=val_batches,
                               verbose=False)
         results = {}

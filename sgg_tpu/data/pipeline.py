@@ -240,6 +240,9 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
+            # a producer failure must surface in the consumer, not silently
+            # end the epoch (an AttributeError here once made val_epoch
+            # evaluate zero images while reporting success)
             try:
                 for bucket, chunk in chunks:
                     if stop.is_set():
@@ -250,8 +253,9 @@ class BatchLoader:
                         q.put(self._assemble(chunk, rng,
                                              max_nodes=bucket[0],
                                              max_edges=bucket[1]))
-            finally:
                 q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -260,6 +264,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -95,7 +95,16 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
             mr_lists[m + "_nogc"] = MeanRecallEvaluator(
                 m, dataset.ind_to_predicates, multiple_preds=True)
 
+    # The reference evaluates EVERY GT object at batch size 1
+    # (dataloaders/visual_genome.py:730, lib/eval.py:144-170); a fixed
+    # max_nodes bucket would silently drop GT relations of large graphs from
+    # the recall denominator. Size the eval bucket to the split's true
+    # maximum (rounded up for TPU tiling) so no graph is ever truncated.
+    n_obj_max = max((len(c) for c in dataset.gt_classes), default=2)
+    eval_nodes = max(config.max_nodes, -(-n_obj_max // 8) * 8)
+
     entries = []
+    n_evaluated = 0
     sgdet_cache: Dict = {}
     for m in eval_modes:
         if m not in evaluators:
@@ -103,7 +112,7 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         if m != "sgdet":
             eval_step = make_eval_step(model, mode=m)
         loader = BatchLoader(dataset, batch_size=eval_batch_size,
-                             max_nodes=config.max_nodes,
+                             max_nodes=eval_nodes,
                              max_edges=config.max_edges, shuffle=False,
                              drop_last=False, with_images=with_images)
         img_base = 0
@@ -144,13 +153,17 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                     entry["rel_scores"] = apply_predicate_weights(
                         entry["rel_scores"], pred_weights)
                 # GT in the same (padded-frame) coordinate space as the
-                # predictions; graphs beyond max_nodes are truncated
-                # identically on both sides.
+                # predictions. The bucket is sized to the split maximum
+                # above, so truncation cannot happen — enforce it.
                 n_gt = int(gt_node_mask[i].sum())
-                keep = (gt_rels[:, 0] < n_gt) & (gt_rels[:, 1] < n_gt)
+                if n_gt != len(dataset.gt_classes[idx]):
+                    raise RuntimeError(
+                        f"eval graph truncated: image {idx} has "
+                        f"{len(dataset.gt_classes[idx])} GT objects but the "
+                        f"batch carries {n_gt} (bucket {eval_nodes})")
                 gt_entry = {
                     "gt_classes": dataset.gt_classes[idx][:n_gt],
-                    "gt_relations": gt_rels[keep],
+                    "gt_relations": gt_rels,
                     "gt_boxes": gt_boxes_b[i][:n_gt],
                 }
                 if len(gt_entry["gt_relations"]) == 0:
@@ -159,10 +172,17 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                     entries.append(entry)
                 evaluators[m].add_image(gt_entry, entry)
                 evaluators[m + "_nogc"].add_image(gt_entry, entry)
+                n_evaluated += 1
                 if with_mr:
                     mr_lists[m].add_image(gt_entry, entry)
                     mr_lists[m + "_nogc"].add_image(gt_entry, entry)
             img_base += batch.batch_size
+
+    if n_evaluated == 0 and len(dataset) > 0 and evaluators and \
+            n_batches != 0:
+        raise RuntimeError(
+            f"val_epoch evaluated zero images over '{name}' "
+            f"({len(dataset)} available) — broken input pipeline?")
 
     results: Dict[str, float] = {}
     for m in eval_modes:

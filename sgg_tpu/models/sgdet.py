@@ -131,19 +131,38 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
                           thresholds=(0.2, 0.05, 0.01),
                           require_overlap: bool = True,
                           _cache: Optional[dict] = None):
-    """Box-threshold retry loop (reference lib/eval.py:125-133,227-228):
-    rerun detection at lower score thresholds for batches where any image
-    has fewer than two detections. Returns the eval outputs of the first
-    threshold where every image has >= 2 detections (or the last)."""
+    """Per-image box-threshold retry (reference lib/eval.py:125-133,227-228).
+
+    The reference evaluates at batch size 1 and re-detects a single image at
+    progressively lower score thresholds (0.2 -> 0.05 -> 0.01) until it has
+    >= 2 detections. Over a padded batch, every image keeps the outputs of
+    the FIRST threshold that yields >= 2 detections for *that image* —
+    images already satisfied at a higher threshold are never overwritten, so
+    their detections are identical to a no-retry run. Lower thresholds only
+    execute while some image still needs them."""
+    import numpy as np
+
     cache = _cache if _cache is not None else {}
-    out = None
+    chosen = None
+    satisfied = None
     for t in thresholds:
         if t not in cache:
             cache[t] = make_sgdet_eval_step(detector, relmodel,
                                             score_thresh=t,
                                             require_overlap=require_overlap)
         out = cache[t](variables, batch)
-        import numpy as np
-        if int(np.asarray(out["n_det"]).min()) >= 2:
-            return out
-    return out
+        n_det = np.asarray(out["n_det"])
+        if chosen is None:
+            chosen = {k: np.asarray(v).copy() for k, v in out.items()}
+            satisfied = n_det >= 2
+        else:
+            # only images still unsatisfied take this threshold's outputs
+            # (the last threshold's outputs stick even when < 2 dets,
+            # matching the reference's loop falling through)
+            upd = ~satisfied
+            for k, v in chosen.items():
+                v[upd] = np.asarray(out[k])[upd]
+            satisfied = satisfied | (n_det >= 2)
+        if bool(satisfied.all()):
+            break
+    return chosen

@@ -3,9 +3,18 @@
 Rebuild of ``UnionBoxesAndFeats`` (``/root/reference/lib/get_union_boxes.py:17-101``):
 the subject/object boxes of each candidate edge are rasterized into a
 ``(2, 27, 27)`` anti-aliased mask pair ("rects", shifted by -0.5), passed
-through a small conv net (2 -> dim/2 stride-2 7x7 conv -> maxpool ->
-dim 3x3 conv, each with BatchNorm momentum 0.01), and **added** to the
-RoIAligned union-box features.
+through a small conv net (2 -> dim/2 7x7 conv -> maxpool -> dim 3x3 conv,
+each with BatchNorm momentum 0.01), and **added** to the RoIAligned
+union-box features.
+
+Conv strides — faithful to the reference's runtime behavior: the reference's
+``conv_layer`` lambda (``get_union_boxes.py:41-44``) names its stride
+parameter ``stide`` but passes ``stride=stride``, which closes over the
+module's feature-map stride (16). Both convs therefore actually run at
+stride 16, collapsing the 27x27 rects to a single 1x1 feature that is
+broadcast-added over the 7x7 union pools (verified empirically against the
+reference module). ``conv_strides`` defaults to that behavior; ``(2, 1)``
+restores the neural-motifs intent (a 7x7 spatial rects map).
 
 TPU-native differences: the rasterizer is the closed-form XLA op
 (``sgg_tpu/ops/rects.py``) fused into this module — the reference round-trips
@@ -37,6 +46,10 @@ class UnionBoxFeats(nn.Module):
     dim: int = 512
     pooling_size: int = 7
     edge_model: str = "motifs"
+    # (conv1, conv2) strides. (16, 16) = the reference's actual behavior
+    # (the ``stide`` closure typo, see module docstring); (2, 1) = the
+    # neural-motifs intent.
+    conv_strides: tuple = (16, 16)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -44,8 +57,9 @@ class UnionBoxFeats(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         """pair_boxes: (B, E, 8) subject+object boxes in image pixels.
 
-        Returns (B, E, pool, pool, dim) conv features of the rasterized
-        masks (to be added to RoIAligned union features).
+        Returns (B, E, h, w, dim) conv features of the rasterized masks,
+        broadcast-addable to the (B, E, pool, pool, dim) RoIAligned union
+        features (h = w = 1 under the reference-faithful strides).
         """
         P = self.pooling_size * 4 - 1  # 27 (get_union_boxes.py:67)
         if self.edge_model == "raw_boxes":
@@ -66,18 +80,20 @@ class UnionBoxFeats(nn.Module):
         x = rects.reshape(B * E, 2, P, P).transpose(0, 2, 3, 1)  # NHWC
         x = x.astype(self.dtype)
 
-        x = nn.Conv(self.dim // 2, (7, 7), strides=(2, 2), padding=3,
+        s1, s2 = self.conv_strides
+        x = nn.Conv(self.dim // 2, (7, 7), strides=(s1, s1), padding=3,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=1.0 - BATCHNORM_MOMENTUM,
                          dtype=self.dtype, name="bn1")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(x)
+        x = nn.Conv(self.dim, (3, 3), strides=(s2, s2), padding=1,
+                    dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=1.0 - BATCHNORM_MOMENTUM,
                          dtype=self.dtype, name="bn2")(x)
-        # 27 -> conv s2 -> 14 -> maxpool s2 -> 7
-        return x.reshape(B, E, self.pooling_size, self.pooling_size, self.dim)
+        # faithful strides: 27 -> conv s16 -> 2 -> maxpool s2 -> 1 -> 1
+        # motifs intent: 27 -> conv s2 -> 14 -> maxpool s2 -> 7 -> 7
+        return x.reshape(B, E, x.shape[1], x.shape[2], self.dim)

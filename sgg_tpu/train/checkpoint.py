@@ -161,6 +161,19 @@ def torch_vgg_key_map() -> Dict[str, str]:
     return mapping
 
 
+def _fc6_chw_to_hwc(w: np.ndarray, pool: int = 7) -> np.ndarray:
+    """Permute a torch fc-over-flattened-RoI weight to our flatten order.
+
+    Torch flattens pooled RoI features channel-first ((C, P, P) -> C*P*P);
+    our NHWC heads flatten (P, P, C) -> P*P*C. Returns the (in, out) kernel
+    for the Flax Dense."""
+    w = np.asarray(w)
+    out_dim, in_dim = w.shape
+    c = in_dim // (pool * pool)
+    return (w.reshape(out_dim, c, pool, pool)
+            .transpose(0, 2, 3, 1).reshape(out_dim, pool * pool * c).T)
+
+
 def import_torch_vgg(params, torch_state: Dict[str, "np.ndarray"],
                      verbose: bool = False):
     """Transplant a torchvision-format VGG16 ``state_dict`` (as numpy) into
@@ -174,13 +187,15 @@ def import_torch_vgg(params, torch_state: Dict[str, "np.ndarray"],
         if b is not None:
             flat[f"{ours}/bias"] = np.asarray(b)
     # classifier -> both RoI heads (the reference duplicates the classifier
-    # into roi_fmap and roi_fmap_obj, pytorch_misc.py:195-203)
+    # into roi_fmap and roi_fmap_obj, pytorch_misc.py:195-203). fc6 consumes
+    # the flattened 7x7x512 pool: permute CHW->HWC flatten order.
     for head in ("roi_fmap", "roi_fmap_obj"):
         for tidx, ours in (("0", "fc6"), ("3", "fc7")):
             w = torch_state.get(f"classifier.{tidx}.weight")
             b = torch_state.get(f"classifier.{tidx}.bias")
             if w is not None:
-                flat[f"{head}/{ours}/kernel"] = np.asarray(w).T
+                flat[f"{head}/{ours}/kernel"] = (
+                    _fc6_chw_to_hwc(w) if ours == "fc6" else np.asarray(w).T)
             if b is not None:
                 flat[f"{head}/{ours}/bias"] = np.asarray(b)
     return optimistic_update(params, flat, verbose=verbose)
@@ -230,10 +245,144 @@ def import_torch_faster_rcnn(params, torch_state: Dict[str, "np.ndarray"],
         w = torch_state.get(f"{tname}.weight")
         b = torch_state.get(f"{tname}.bias")
         if w is not None:
-            flat[f"{ours}/kernel"] = np.asarray(w).T
+            # box_head fc6 consumes flattened pooled RoIs: CHW->HWC order
+            flat[f"{ours}/kernel"] = (
+                _fc6_chw_to_hwc(w) if ours.endswith("fc6")
+                else np.asarray(w).T)
         if b is not None:
             flat[f"{ours}/bias"] = np.asarray(b)
     return optimistic_update(params, flat, verbose=verbose)
+
+
+# ---------------------------------------------------------------------------
+# RelModelStanford state_dict -> RelModelIMP variables. Covers the IMP head
+# (unary/GRU/gates/output fcs, rel_model_stanford.py:29-45), both RoI heads
+# (rel_model_base.py:110-111), the union-boxes conv branch
+# (get_union_boxes.py:51-59), the frequency bias (sparse_targets.py:25-26)
+# and the detector's VGG trunk.
+
+def _gru_updates(prefix_t: str, prefix_f: str,
+                 ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torch.nn.GRUCell tensors -> flax GRUCell gate denses.
+
+    torch packs gates row-wise as [r; z; n] in weight_ih/weight_hh with both
+    input- and hidden-side biases; flax keeps per-gate denses where hr/hz
+    have no bias, so b_ih[r|z] + b_hh[r|z] folds into ir/iz biases, while n
+    keeps both (b_hn sits inside the r* term in both formulations)."""
+    w_ih = ts.get(f"{prefix_t}.weight_ih")
+    w_hh = ts.get(f"{prefix_t}.weight_hh")
+    b_ih = ts.get(f"{prefix_t}.bias_ih")
+    b_hh = ts.get(f"{prefix_t}.bias_hh")
+    if w_ih is None or w_hh is None:
+        return {}
+    h = w_ih.shape[0] // 3
+    out = {}
+    for i, g in enumerate(("r", "z", "n")):  # flax denses: ir,iz,in/hr,hz,hn
+        sl = slice(i * h, (i + 1) * h)
+        out[f"{prefix_f}/i{g}/kernel"] = np.asarray(w_ih[sl]).T
+        out[f"{prefix_f}/h{g}/kernel"] = np.asarray(w_hh[sl]).T
+    if b_ih is not None and b_hh is not None:
+        h_r, h_z, h_n = (slice(0, h), slice(h, 2 * h), slice(2 * h, 3 * h))
+        out[f"{prefix_f}/ir/bias"] = np.asarray(b_ih[h_r] + b_hh[h_r])
+        out[f"{prefix_f}/iz/bias"] = np.asarray(b_ih[h_z] + b_hh[h_z])
+        out[f"{prefix_f}/in/bias"] = np.asarray(b_ih[h_n])
+        out[f"{prefix_f}/hn/bias"] = np.asarray(b_hh[h_n])
+    return out
+
+
+def _dense_updates(tname: str, ours: str,
+                   ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    w, b = ts.get(f"{tname}.weight"), ts.get(f"{tname}.bias")
+    if w is not None:
+        out[f"{ours}/kernel"] = np.asarray(w).T
+    if b is not None:
+        out[f"{ours}/bias"] = np.asarray(b)
+    return out
+
+
+def _conv_updates(tname: str, ours: str,
+                  ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    w, b = ts.get(f"{tname}.weight"), ts.get(f"{tname}.bias")
+    if w is not None:
+        out[f"{ours}/kernel"] = np.transpose(np.asarray(w), (2, 3, 1, 0))
+    if b is not None:
+        out[f"{ours}/bias"] = np.asarray(b)
+    return out
+
+
+def relmodel_flat_updates(
+        torch_state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reference ``RelModelStanford.state_dict()`` -> flat path updates for a
+    ``RelModelIMP`` *variables* tree ({'params':..., 'batch_stats':...})."""
+    ts = torch_state
+    flat: Dict[str, np.ndarray] = {}
+    P = "params"
+
+    # IMP head: unary projections, output fcs, gate denses (Sequential[0])
+    for tname, ours in (("obj_unary", "imp/obj_unary"),
+                        ("edge_unary", "imp/edge_unary"),
+                        ("obj_fc", "imp/obj_fc"),
+                        ("rel_fc", "imp/rel_fc"),
+                        ("sub_vert_w_fc.0", "imp/sub_vert_w_fc"),
+                        ("obj_vert_w_fc.0", "imp/obj_vert_w_fc"),
+                        ("out_edge_w_fc.0", "imp/out_edge_w_fc"),
+                        ("in_edge_w_fc.0", "imp/in_edge_w_fc")):
+        flat.update(_dense_updates(tname, f"{P}/{ours}", ts))
+    flat.update(_gru_updates("node_gru", f"{P}/imp/node_gru", ts))
+    flat.update(_gru_updates("edge_gru", f"{P}/imp/edge_gru", ts))
+
+    # RoI heads. roi_fmap = Sequential(Flatten, classifier) -> indices 1.0 /
+    # 1.3; roi_fmap_obj = classifier -> indices 0 / 3. fc6 permutes CHW->HWC.
+    for tname, ours in (("roi_fmap.1.0", "roi_fmap/fc6"),
+                        ("roi_fmap.1.3", "roi_fmap/fc7"),
+                        ("roi_fmap_obj.0", "roi_fmap_obj/fc6"),
+                        ("roi_fmap_obj.3", "roi_fmap_obj/fc7")):
+        upd = _dense_updates(tname, f"{P}/{ours}", ts)
+        k = f"{P}/{ours}/kernel"
+        if ours.endswith("fc6") and k in upd:
+            upd[k] = _fc6_chw_to_hwc(ts[f"{tname}.weight"])
+        flat.update(upd)
+
+    # union-boxes conv branch: Sequential(conv,relu,bn,maxpool,conv,relu,bn)
+    flat.update(_conv_updates("union_boxes.conv.0",
+                              f"{P}/union_feats/conv1", ts))
+    flat.update(_conv_updates("union_boxes.conv.4",
+                              f"{P}/union_feats/conv2", ts))
+    for tidx, ours in (("2", "bn1"), ("6", "bn2")):
+        base = f"union_boxes.conv.{tidx}"
+        w, b = ts.get(f"{base}.weight"), ts.get(f"{base}.bias")
+        m = ts.get(f"{base}.running_mean")
+        v = ts.get(f"{base}.running_var")
+        if w is not None:
+            flat[f"{P}/union_feats/{ours}/scale"] = np.asarray(w)
+        if b is not None:
+            flat[f"{P}/union_feats/{ours}/bias"] = np.asarray(b)
+        if m is not None:
+            flat[f"batch_stats/union_feats/{ours}/mean"] = np.asarray(m)
+        if v is not None:
+            flat[f"batch_stats/union_feats/{ours}/var"] = np.asarray(v)
+
+    # frequency bias embedding (C*C, R)
+    if "freq_bias.obj_baseline.weight" in ts:
+        flat[f"{P}/freq_bias/table"] = np.asarray(
+            ts["freq_bias.obj_baseline.weight"])
+
+    # VGG trunk inside the frozen detector (FasterRCNN(vgg.features))
+    for tname, ours in torch_vgg_key_map().items():
+        idx = tname.split(".")[1]
+        flat.update(_conv_updates(f"detector.backbone.{idx}",
+                                  f"{P}/{ours}", ts))
+    return flat
+
+
+def import_torch_relmodel(variables, torch_state: Dict[str, np.ndarray],
+                          verbose: bool = False):
+    """Transplant a reference ``RelModelStanford`` state_dict (as numpy) into
+    a ``RelModelIMP`` variables tree (params + batch_stats)."""
+    return optimistic_update(variables, relmodel_flat_updates(torch_state),
+                             verbose=verbose)
 
 
 def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:

@@ -124,9 +124,11 @@ def test_torch_faster_rcnn_import():
     np.testing.assert_allclose(
         np.asarray(new["rpn"]["conv"]["kernel"]),
         np.transpose(sd["rpn.head.conv.weight"], (2, 3, 1, 0)))
+    # fc6 consumes flattened pooled RoIs: torch flattens CHW, ours HWC
+    from sgg_tpu.train.checkpoint import _fc6_chw_to_hwc
     np.testing.assert_allclose(
         np.asarray(new["box_head"]["fc6"]["kernel"]),
-        sd["roi_heads.box_head.fc6.weight"].T)
+        _fc6_chw_to_hwc(sd["roi_heads.box_head.fc6.weight"]))
     np.testing.assert_allclose(
         np.asarray(new["cls_score"]["bias"]),
         sd["roi_heads.box_predictor.cls_score.bias"])

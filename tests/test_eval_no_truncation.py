@@ -1,0 +1,83 @@
+"""Eval never truncates large GT graphs (VERDICT round-1, item 4).
+
+The reference evaluates every GT object of every image at batch size 1
+(``/root/reference/dataloaders/visual_genome.py:730``, ``lib/eval.py:144-170``).
+``val_epoch`` must therefore size its eval bucket to the split's maximum
+graph size: an image with more objects than ``config.max_nodes`` keeps all
+its GT relations in the recall denominator, and recall is identical to a
+one-image-per-batch run with an oversized bucket.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgg_tpu.config import Config
+from sgg_tpu.data import SyntheticSGGDataset
+from sgg_tpu.data.pipeline import BatchLoader
+from sgg_tpu.eval.driver import val_epoch
+from sgg_tpu.models import RelModelIMP
+
+from test_trainer import _to_sggdataset
+
+N_CLS, N_PRED = 9, 6
+
+
+def test_large_graphs_not_truncated():
+    # images with 67-70 objects — beyond the configured 16-node bucket
+    ds = _to_sggdataset(
+        SyntheticSGGDataset(num_images=2, num_classes=N_CLS,
+                            num_predicates=N_PRED, min_objects=67,
+                            max_objects=70, max_rels=25, image_size=64,
+                            seed=3), "test")
+    assert max(len(c) for c in ds.gt_classes) > 64
+
+    model = RelModelIMP(num_classes=N_CLS, num_predicates=N_PRED,
+                        mode="sgcls", hidden_dim=16, obj_dim=32,
+                        dtype=jnp.float32)
+    gb = next(iter(BatchLoader(ds, batch_size=2, max_nodes=72, max_edges=32,
+                               with_images=False, shuffle=False,
+                               im_scale=64)))
+    from sgg_tpu.train.assign import sample_edges
+    sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                               gb.node_mask, max_out=32)
+    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
+                           gb.classes, sampled[..., :2], pm, train=False)
+
+    small_cfg = Config(batch_size=2, max_nodes=16, max_edges=32,
+                       mode="sgcls", compute_dtype="float32")
+    big_cfg = Config(batch_size=2, max_nodes=80, max_edges=32,
+                     mode="sgcls", compute_dtype="float32")
+
+    # auto-sized bucket (from max_nodes=16) at batch size 2 vs an explicit
+    # oversized bucket at batch size 1: identical metrics, all GT kept
+    res_small = val_epoch(model, variables, ds, small_cfg, "test",
+                          eval_batch_size=2, with_images=False,
+                          verbose=False)
+    res_big = val_epoch(model, variables, ds, big_cfg, "test",
+                        eval_batch_size=1, with_images=False, verbose=False)
+    assert res_small.keys() == res_big.keys()
+    checked = 0
+    for k in res_small:
+        assert np.isfinite(res_small[k]), k
+        np.testing.assert_allclose(res_small[k], res_big[k], atol=1e-6,
+                                   err_msg=k)
+        checked += 1
+    assert checked and any(
+        k.startswith("predcls/") and "R@100" in k for k in res_small)
+
+
+def test_broken_producer_raises():
+    """A producer-thread failure surfaces in the consumer instead of
+    silently ending the epoch (regression: AttributeError made val_epoch
+    evaluate zero images while reporting success)."""
+    synth = SyntheticSGGDataset(num_images=2, num_classes=N_CLS,
+                                num_predicates=N_PRED, max_objects=5,
+                                image_size=64, seed=0)
+    # SyntheticSGGDataset lacks the SGGDataset loader contract (filenames,
+    # box_coordinates, ...) — using it must raise, not yield nothing
+    with pytest.raises(AttributeError):
+        loader = BatchLoader(synth, batch_size=2, max_nodes=8, max_edges=12,
+                             with_images=False, shuffle=False)
+        list(loader)

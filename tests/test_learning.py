@@ -56,7 +56,10 @@ def test_overfit_improves_recall():
     r_before = _recall(model, variables, gb, ds, B)
 
     step = make_train_step(model, config)
-    for i in range(150):
+    # 350 steps: the reference-faithful stride-16 union conv (a 1x1
+    # broadcast edge feature, see models/union_features.py) learns slower
+    # than the stride-2 motifs-intent variant this budget was tuned for.
+    for i in range(350):
         state, metrics = step(state, gb, jax.random.key(i))
     assert np.isfinite(float(metrics["total"]))
 

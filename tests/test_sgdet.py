@@ -140,3 +140,31 @@ def test_sgdet_retry_loop():
     # threshold 0.99 likely finds nothing -> falls back to 0.0
     assert len(cache) >= 1
     assert out is not None
+
+
+def test_sgdet_retry_is_per_image():
+    """Reference semantics (lib/eval.py:125-133): retry at a lower threshold
+    only changes the images that had < 2 detections — an easy image's
+    outputs are byte-identical to its high-threshold run."""
+    config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
+    cache = {}
+    base = make_sgdet_eval_step(detector, relmodel, score_thresh=0.0)
+    scores = np.sort(np.asarray(base((det_vars, rel_vars), gb)["det_scores"]),
+                     axis=1)[:, ::-1]
+    s2 = scores[:, 1]  # per-image second-highest detection score
+    if abs(s2[0] - s2[1]) < 1e-6:
+        import pytest
+        pytest.skip("images have identical score profiles")
+    easy, hard = (0, 1) if s2[0] > s2[1] else (1, 0)
+    t_hi = float((s2[easy] + s2[hard]) / 2)
+
+    out = sgdet_eval_with_retry(detector, relmodel, (det_vars, rel_vars), gb,
+                                thresholds=(t_hi, 0.0), _cache=cache)
+    hi = {k: np.asarray(v) for k, v in
+          cache[t_hi]((det_vars, rel_vars), gb).items()}
+    lo = {k: np.asarray(v) for k, v in
+          cache[0.0]((det_vars, rel_vars), gb).items()}
+    assert int(hi["n_det"][easy]) >= 2 and int(hi["n_det"][hard]) < 2
+    for k in out:
+        np.testing.assert_array_equal(out[k][easy], hi[k][easy], err_msg=k)
+        np.testing.assert_array_equal(out[k][hard], lo[k][hard], err_msg=k)

@@ -34,6 +34,11 @@ class GraphBatch:
       rels: (B, E, 3) int32 ``(subj_local, obj_local, predicate)``; predicate
         0 = background ("no relation"), ≥1 = annotated predicate.
       rel_mask: (B, E) bool validity.
+      im_scale_org: optional (B,) float factor mapping model-frame (IM_SCALE)
+        pixels back to ORIGINAL image pixels (= max_side_org / IM_SCALE).
+        Carried for exported prediction artifacts — the reference returns
+        ``rm_box_priors_org`` in original pixels
+        (rel_model_base.py:237-240). None when unknown (factor 1).
     """
 
     images: Optional[jnp.ndarray]
@@ -43,6 +48,7 @@ class GraphBatch:
     node_mask: jnp.ndarray
     rels: jnp.ndarray
     rel_mask: jnp.ndarray
+    im_scale_org: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -68,7 +74,8 @@ class GraphBatch:
 def pack_ragged(per_image_boxes, per_image_classes, per_image_rels,
                 max_nodes: int, max_edges: int,
                 images: Optional[np.ndarray] = None,
-                im_hw: Optional[np.ndarray] = None) -> GraphBatch:
+                im_hw: Optional[np.ndarray] = None,
+                im_scale_org: Optional[np.ndarray] = None) -> GraphBatch:
     """Pack a list of ragged per-image graphs into a GraphBatch (host side).
 
     The hot loop runs in native code (``sgg_tpu/native/collate.cpp``); this
@@ -112,4 +119,6 @@ def pack_ragged(per_image_boxes, per_image_classes, per_image_rels,
         node_mask=pnm.astype(bool),
         rels=pr,
         rel_mask=prm.astype(bool),
+        im_scale_org=(None if im_scale_org is None
+                      else np.asarray(im_scale_org, np.float32)),
     )

@@ -176,12 +176,15 @@ class BatchLoader:
             # the boxes' extent as the "image"
             ext = max(float(self.ds.gt_boxes[idx].max()), 1.0)
             img = np.zeros((int(ext), int(ext), 3), np.float32)
+        # model-frame -> original-pixel factor (for artifact export; the
+        # reference keeps rm_box_priors_org, rel_model_base.py:237-240)
+        scale_org = max(img.shape[:2]) / self.im_scale
         return prepare_example(
             img, self.ds.gt_boxes[idx], self.ds.relationships[idx],
             self.ds.box_coordinates, self.ds.is_train, rng,
             im_scale=self.im_scale,
             filter_duplicates=self.ds.filter_duplicates,
-            uint8=self.image_format == "uint8")
+            uint8=self.image_format == "uint8") + (scale_org,)
 
     def _assemble(self, indices, rng, max_nodes=None,
                   max_edges=None) -> GraphBatch:
@@ -196,7 +199,8 @@ class BatchLoader:
             [e[2] for e in examples],
             max_nodes=max_nodes or self.max_nodes,
             max_edges=max_edges or self.max_edges,
-            images=images, im_hw=im_hw)
+            images=images, im_hw=im_hw,
+            im_scale_org=np.asarray([e[4] for e in examples], np.float32))
 
     def _bucket_for(self, idx: int):
         n = len(self.ds.gt_classes[idx])

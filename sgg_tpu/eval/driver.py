@@ -169,7 +169,17 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 if len(gt_entry["gt_relations"]) == 0:
                     continue
                 if collect_entries and m == eval_modes[0]:
-                    entries.append(entry)
+                    # export boxes in ORIGINAL image pixels (reference
+                    # rm_box_priors_org, rel_model_base.py:237-240) so
+                    # artifacts are comparable to reference dumps; the
+                    # evaluators keep working in the IM_SCALE frame
+                    # (IoU-invariant).
+                    export = dict(entry)
+                    if batch.im_scale_org is not None:
+                        export["pred_boxes"] = (
+                            entry["pred_boxes"]
+                            * float(np.asarray(batch.im_scale_org)[i]))
+                    entries.append(export)
                 evaluators[m].add_image(gt_entry, entry)
                 evaluators[m + "_nogc"].add_image(gt_entry, entry)
                 n_evaluated += 1

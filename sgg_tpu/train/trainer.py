@@ -300,9 +300,10 @@ class Trainer:
                 # force host sync once per interval, not per step
                 means = {k: float(np.mean([float(x) for x in v]))
                          for k, v in accum.items()}
-                if cfg.debug and not np.isfinite(means.get("total", 0.0)):
-                    # NaN guard (reference detector/engine.py:41-44 aborts
-                    # on non-finite loss)
+                if not np.isfinite(means.get("total", 0.0)):
+                    # unconditional NaN guard (reference detector/
+                    # engine.py:41-44 kills the run on non-finite loss;
+                    # a silent NaN would burn the remaining epochs)
                     raise FloatingPointError(
                         f"non-finite loss at epoch {epoch} batch {b_i}: "
                         f"{means}")

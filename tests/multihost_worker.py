@@ -1,0 +1,71 @@
+"""Worker process for the 2-process multi-host CPU test.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Each worker owns 4 virtual CPU devices (XLA_FLAGS set by the parent), joins
+the coordinator, builds its LOCAL half of the global batch, assembles the
+globally-sharded batch via ``global_batch`` and runs one DP train step.
+Prints ``MHLOSS <value>`` on success.
+"""
+
+import sys
+
+
+def main():
+    proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from sgg_tpu.parallel import distributed as dist
+    dist.initialize(coordinator_address=f"localhost:{port}",
+                    num_processes=n_proc, process_id=proc_id)
+    assert jax.process_count() == n_proc, jax.process_count()
+    assert len(jax.devices()) == 4 * n_proc, jax.devices()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sgg_tpu.config import Config
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models import RelModelIMP
+    from sgg_tpu.parallel import make_mesh, replicate
+    from sgg_tpu.train.assign import sample_edges
+    from sgg_tpu.train.state import create_train_state
+    from sgg_tpu.train.step import make_train_step
+
+    B, N, E, IMG = 8, 8, 16, 48
+    config = Config(batch_size=B, max_nodes=N, max_edges=E, mode="sgcls",
+                    loss="dnorm", compute_dtype="float32")
+    model = RelModelIMP(num_classes=9, num_predicates=5, mode="sgcls",
+                        hidden_dim=16, obj_dim=32, dtype=jnp.float32)
+    ds = SyntheticSGGDataset(num_images=B, num_classes=9, num_predicates=5,
+                             max_objects=5, image_size=IMG,
+                             with_images=True, seed=0)
+
+    # this host's local shard of the global batch
+    local_idx = dist.process_local_indices(B, B)
+    local = ds.batch(list(local_idx), max_nodes=N, max_edges=E)
+
+    mesh = make_mesh()
+    batch = dist.global_batch(local, mesh)
+
+    # init must be identical on all hosts: same key, HOST-LOCAL plain batch
+    init_gb = ds.batch(list(range(B)), max_nodes=N, max_edges=E)
+    sampled, pm = sample_edges(jax.random.key(0), init_gb.rels,
+                               init_gb.rel_mask, init_gb.node_mask,
+                               max_out=E)
+    variables = model.init(jax.random.key(0), init_gb.images, init_gb.boxes,
+                           init_gb.classes, sampled[..., :2], pm,
+                           train=False)
+    state = replicate(create_train_state(config, variables), mesh)
+
+    step = make_train_step(model, config)
+    state, metrics = step(state, batch, jax.random.key(1))
+    total = float(metrics["total"])
+    mean = dist.host_mean(total)
+    assert np.isfinite(total)
+    assert abs(mean - total) < 1e-6, (mean, total)  # same loss on all hosts
+    print(f"MHLOSS {total:.10f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

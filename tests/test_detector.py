@@ -7,6 +7,9 @@ from sgg_tpu.models.detector import (FasterRCNNVGG, assign_targets,
                                      roi_head_losses, generate_proposals,
                                      _sample_balanced)
 from sgg_tpu.ops.nms import decode_boxes, encode_boxes, nms
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _np_greedy_nms(boxes, scores, thresh):

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from sgg_tpu.parallel import (global_batch, host_mean, initialize,
                               make_mesh, process_local_indices)
@@ -31,3 +32,69 @@ def test_global_batch_single_process_sharded():
 
 def test_host_mean_single():
     assert host_mean(3.5) == 3.5
+
+
+@pytest.mark.slow
+def test_two_process_multihost_dp_step(tmp_path):
+    """Two real processes (4 virtual CPU devices each) join a coordinator,
+    assemble a globally-sharded batch via global_batch and run one DP step;
+    the loss matches the single-process 8-device run (VERDICT item 8)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from sgg_tpu.config import Config
+    from sgg_tpu.models import RelModelIMP
+    from sgg_tpu.parallel import replicate, shard_batch
+    from sgg_tpu.train.assign import sample_edges
+    from sgg_tpu.train.state import create_train_state
+    from sgg_tpu.train.step import make_train_step
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "multihost_worker.py")
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["PYTHONPATH"] = root
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=root))
+    outs = [p.communicate(timeout=480)[0] for p in procs]
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("MHLOSS ")]
+        assert line, out[-2000:]
+        losses.append(float(line[0].split()[1]))
+    assert losses[0] == losses[1]
+
+    # single-process 8-device reference (this process has the virtual mesh)
+    B, N, E, IMG = 8, 8, 16, 48
+    config = Config(batch_size=B, max_nodes=N, max_edges=E, mode="sgcls",
+                    loss="dnorm", compute_dtype="float32")
+    model = RelModelIMP(num_classes=9, num_predicates=5, mode="sgcls",
+                        hidden_dim=16, obj_dim=32, dtype=jnp.float32)
+    ds = SyntheticSGGDataset(num_images=B, num_classes=9, num_predicates=5,
+                             max_objects=5, image_size=IMG,
+                             with_images=True, seed=0)
+    gb = ds.batch(list(range(B)), max_nodes=N, max_edges=E)
+    sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                               gb.node_mask, max_out=E)
+    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
+                           gb.classes, sampled[..., :2], pm, train=False)
+    mesh = make_mesh()
+    state = replicate(create_train_state(config, variables), mesh)
+    step = make_train_step(model, config)
+    _, metrics = step(state, shard_batch(gb, mesh), jax.random.key(1))
+    np.testing.assert_allclose(losses[0], float(metrics["total"]),
+                               rtol=1e-5)

@@ -7,6 +7,9 @@ import numpy as np
 
 from sgg_tpu.parallel import make_mesh_2d, replicate, shard_batch_edges
 from test_train_e2e import _setup
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_edge_sharded_train_step_matches():

@@ -21,6 +21,8 @@ from sgg_tpu.models import RelModelIMP
 
 from test_trainer import _to_sggdataset
 
+pytestmark = pytest.mark.slow
+
 N_CLS, N_PRED = 9, 6
 
 

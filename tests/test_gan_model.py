@@ -7,6 +7,8 @@ from sgg_tpu.models.gan import (GANModel, GraphTripleConvNet,
                                 add_dummy_nodes, avg_pool_ceil,
                                 boxes_to_layout)
 
+pytestmark = pytest.mark.slow
+
 
 def test_add_dummy_nodes_static_slot():
     B, N, E = 2, 4, 3

@@ -12,6 +12,9 @@ from sgg_tpu.ops.boxes import scale_boxes_01
 from sgg_tpu.train.assign import sample_edges
 from sgg_tpu.train.gan_step import create_gan_state, make_gan_train_step
 from sgg_tpu.train.state import create_train_state
+import pytest
+
+pytestmark = pytest.mark.slow
 
 N_CLS, N_PRED = 9, 5
 

@@ -8,6 +8,9 @@ from sgg_tpu.models.gan import GANModel
 from sgg_tpu.models.relhead import RelModelIMP
 from sgg_tpu.train.trainer import Trainer
 from test_trainer import _splits
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_gan_trainer_fit(tmp_path):

@@ -17,6 +17,9 @@ from sgg_tpu.models.relhead import RelModelIMP
 from sgg_tpu.train.assign import sample_edges
 from sgg_tpu.train.state import create_train_state
 from sgg_tpu.train.step import make_eval_step, make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _recall(model, variables, gb, ds, n_images):

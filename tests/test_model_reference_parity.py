@@ -27,6 +27,8 @@ from sgg_tpu.train.checkpoint import (_gru_updates, optimistic_update,
 
 from reference_utils import load_reference  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 C_CLS, R_PRED = 11, 7
 HID, OBJ_DIM, FMAP_C, POOL = 32, 48, 24, 7
 

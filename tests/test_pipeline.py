@@ -139,3 +139,24 @@ def test_device_prefetch_and_bf16_images():
     for gb in batches:
         assert str(gb.images.dtype) == "bfloat16"
         assert isinstance(gb.boxes, jax.Array)
+
+
+def test_im_scale_org_round_trip():
+    """Exported-box scaling: model-frame boxes * im_scale_org == original
+    image pixels (reference rm_box_priors_org, rel_model_base.py:237-240)."""
+    boxes = np.asarray([[10., 20., 300., 400.], [0., 0., 50., 600.]],
+                       np.float32)
+    ds = SGGDataset(name="stanford", mode="test", filenames=[], images_dir="",
+                    gt_boxes=[boxes], gt_classes=[np.asarray([1, 2])],
+                    relationships=[np.asarray([[0, 1, 1]], np.int32)],
+                    ind_to_classes=["bg", "a", "b"],
+                    ind_to_predicates=["none", "p"],
+                    box_coordinates="native")
+    loader = BatchLoader(ds, batch_size=1, max_nodes=4, max_edges=4,
+                         with_images=False, shuffle=False, im_scale=128)
+    gb = next(iter(loader))
+    # blank-canvas "original" frame = the boxes' extent (600)
+    assert gb.im_scale_org is not None
+    np.testing.assert_allclose(gb.im_scale_org, [600.0 / 128.0], rtol=1e-6)
+    back = np.asarray(gb.boxes)[0, :2] * float(gb.im_scale_org[0])
+    np.testing.assert_allclose(back, boxes, atol=0.5)

@@ -9,6 +9,9 @@ from sgg_tpu.eval.driver import val_epoch
 from sgg_tpu.models.detector import FasterRCNNVGG
 from sgg_tpu.models.relhead import RelModelIMP
 from test_trainer import _splits
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_pretrain_detector_smoke(tmp_path):

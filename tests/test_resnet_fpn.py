@@ -3,8 +3,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from sgg_tpu.models.detector import FasterRCNNFPN
+import pytest
+
 from sgg_tpu.models.resnet import (ResNet50FPN, multiscale_roi_align,
                                    roi_level_assignment)
+
+pytestmark = pytest.mark.slow
 
 
 def test_resnet50_fpn_shapes():

@@ -11,6 +11,9 @@ from sgg_tpu.models.sgdet import (make_sgdet_eval_step,
                                   sgdet_eval_with_retry)
 from sgg_tpu.train.rel_assign import rel_assignments
 from sgg_tpu.train.state import create_train_state
+import pytest
+
+pytestmark = pytest.mark.slow
 
 N_CLS, N_PRED = 8, 5
 

@@ -14,6 +14,9 @@ from sgg_tpu.parallel import make_mesh, replicate, shard_batch
 from sgg_tpu.train.assign import sample_edges
 from sgg_tpu.train.state import create_train_state, param_labels
 from sgg_tpu.train.step import make_eval_step, make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow
 
 N_CLS, N_PRED = 10, 6
 

@@ -8,6 +8,9 @@ from sgg_tpu.data import SyntheticSGGDataset
 from sgg_tpu.data.datasets import SGGDataset
 from sgg_tpu.models.relhead import RelModelIMP
 from sgg_tpu.train.trainer import Trainer
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _to_sggdataset(ds: SyntheticSGGDataset, mode: str) -> SGGDataset:

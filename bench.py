@@ -13,6 +13,17 @@ Baseline: the reference trains VG SGCls (57k images/epoch, 20 epochs + eval)
 in ~1 day on one 1080Ti/2080Ti-class GPU at b=24 (README.md:43,179-198;
 GQA ~1 day README.md:227), i.e. ~13 images/sec. vs_baseline reports our
 images/sec against that estimate.
+
+Two numbers are measured and reported in the one JSON line:
+  value                    — step-only img/s (device-resident batch): the
+                             compute ceiling of the chip.
+  pipeline_images_per_sec  — pipeline-inclusive img/s: distinct host uint8
+                             batches streamed through device_prefetch (H2D
+                             overlap) into the same step. In THIS dev
+                             environment H2D rides a ~50 MB/s remote-TPU
+                             tunnel (~25 MB/batch), which caps the pipeline
+                             number; on a real TPU host PCIe/DMA makes the
+                             gap vanish.
 """
 
 from __future__ import annotations
@@ -84,11 +95,46 @@ def main():
 
     img_per_sec = BATCH * STEPS / dt
     assert np.isfinite(float(metrics["total"]))
+
+    # ---- pipeline-inclusive: distinct host-resident uint8 batches streamed
+    # through device_prefetch (overlapped H2D) into the same step ----
+    import dataclasses
+
+    from sgg_tpu.data.pipeline import device_prefetch
+
+    host_batches = []
+    for k in range(4):
+        hb = ds.batch(list(range(BATCH)), max_nodes=MAX_NODES,
+                      max_edges=MAX_EDGES)
+        # uint8 canvases: the pipeline's low-bandwidth transfer format
+        # (device-side normalization, models/backbone.py:normalize_images)
+        hb = dataclasses.replace(
+            hb, images=np.round(np.asarray(hb.images) * 255).astype(np.uint8))
+        host_batches.append(hb)
+
+    def stream(n):
+        for k in range(n):
+            yield host_batches[k % len(host_batches)]
+
+    # warmup (uint8 input recompiles the step once)
+    for b in device_prefetch(stream(2), size=2):
+        state, metrics = step(state, b, jax.random.key(99))
+    float(metrics["total"])
+    t0 = time.perf_counter()
+    n_pipe = 10
+    for i, b in enumerate(device_prefetch(stream(n_pipe), size=2)):
+        state, metrics = step(state, b, jax.random.key(100 + i))
+    float(metrics["total"])
+    pipe_per_sec = BATCH * n_pipe / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "sgcls_train_images_per_sec",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
+        "pipeline_images_per_sec": round(pipe_per_sec, 2),
+        "pipeline_vs_baseline": round(
+            pipe_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
     }))
 
 

@@ -320,6 +320,19 @@ class SGGEvaluator:
             self.rank_counts.append(float(self.triplet_counts.get(key, 0)))
             self.triplet_ranks.setdefault(key, []).append(rank)
 
+    def save(self, fn: str) -> None:
+        """Dump the accumulated evaluator state (reference
+        ``BasicSceneGraphEvaluator.save``, sgg_eval.py:57-58)."""
+        np.save(fn, {
+            "mode": self.mode,
+            "multiple_preds": self.multiple_preds,
+            "recalls": self.recalls,
+            "recalls_norm": self.recalls_norm,
+            "ranks": self.ranks,
+            "rank_counts": self.rank_counts,
+            "triplet_ranks": self.triplet_ranks,
+        })
+
     # -- reporting (reference print_stats, sgg_eval.py:65-120)
     def mean_recalls(self) -> Dict[int, float]:
         return {k: float(np.mean(v)) if len(v) else float("nan")

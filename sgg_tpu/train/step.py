@@ -24,9 +24,17 @@ from sgg_tpu.train.state import TrainState
 
 
 def make_train_step(model, config: Config):
-    """Returns jitted ``train_step(state, batch, key) -> (state, metrics)``."""
+    """Returns jitted ``train_step(state, batch, key) -> (state, metrics)``.
+
+    Metrics always include ``grad_norm`` (global); with W&B logging enabled
+    they also include per-top-level-module gradient norms — the JAX
+    analogue of the reference's ``wandb.watch(model, log='all')``
+    (main.py:93-97; torch hook-based watching has no jit equivalent, scalar
+    norms per module are the compile-friendly counterpart).
+    """
 
     loss_weights = (config.alpha, config.beta, config.gamma)
+    watch = getattr(config, "wandb", None) is not None
 
     def train_step(state: TrainState, batch: GraphBatch, key):
         k_sample, k_dropout = jax.random.split(key)
@@ -55,6 +63,11 @@ def make_train_step(model, config: Config):
         state = state.replace(batch_stats=mutated["batch_stats"])
         metrics = dict(losses)
         metrics["total"] = total
+        import optax
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if watch:
+            for mod, sub in grads.items():
+                metrics[f"grad/{mod}"] = optax.global_norm(sub)
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

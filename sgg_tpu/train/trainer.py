@@ -311,7 +311,8 @@ class Trainer:
                     epoch_means[k].append(v)
                 dt = (time.time() - t0) / cfg.print_interval
                 print(f"e{epoch} b{b_i + 1} "
-                      + " ".join(f"{k}={v:.4f}" for k, v in means.items())
+                      + " ".join(f"{k}={v:.4f}" for k, v in means.items()
+                                 if not k.startswith("grad/"))
                       + f" {dt:.3f}s/batch")
                 self.log_fn({f"loss/{k}": v for k, v in means.items()},
                             step=self.global_iter)

@@ -14,48 +14,11 @@ REF = "/root/reference"
 
 
 def _load_reference_evaluator():
-    try:
-        import torch
-    except ImportError:
-        pytest.skip("torch unavailable")
-    # the reference uses long-removed numpy aliases (sgg_eval.py:227 np.int)
-    for name, repl in (("int", int), ("float", float), ("bool", bool)):
-        if not hasattr(np, name):
-            setattr(np, name, repl)
-    # stub the native deps the reference imports but this oracle never calls
-    # into (torchvision C++ ops; dill)
-    import types
-    if "torchvision" not in sys.modules:
-        def _box_iou(a, b):
-            area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-            area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-            lt = torch.maximum(a[:, None, :2], b[None, :, :2])
-            rb = torch.minimum(a[:, None, 2:], b[None, :, 2:])
-            wh = (rb - lt).clamp(min=0)
-            inter = wh[..., 0] * wh[..., 1]
-            return inter / (area_a[:, None] + area_b[None] - inter)
-
-        tv = types.ModuleType("torchvision")
-        tv_ops = types.ModuleType("torchvision.ops")
-        tv_boxes = types.ModuleType("torchvision.ops.boxes")
-        tv_boxes.box_iou = _box_iou
-        tv_ops.boxes = tv_boxes
-        tv_ops.roi_align = lambda *a, **k: (_ for _ in ()).throw(
-            NotImplementedError)
-        tv.ops = tv_ops
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv_ops
-        sys.modules["torchvision.ops.boxes"] = tv_boxes
-    if "dill" not in sys.modules:
-        try:
-            import dill  # noqa: F401
-        except ImportError:
-            import pickle
-            sys.modules["dill"] = pickle
-    if REF not in sys.path:
-        # append, not insert(0): the reference has root-level module names
-        # (pretrain_detector, main, config) that must not shadow ours
-        sys.path.append(REF)
+    # shared stubs + path setup (tests/reference_utils.py) — keeps the
+    # torchvision stub consistent with the model-parity tests, which need
+    # the detection submodules too
+    from reference_utils import load_reference
+    load_reference()
     try:
         from lib.sgg_eval import BasicSceneGraphEvaluator  # noqa
     except Exception as e:  # pragma: no cover

@@ -65,6 +65,8 @@ def test_overfit_improves_recall():
     for i in range(350):
         state, metrics = step(state, gb, jax.random.key(i))
     assert np.isfinite(float(metrics["total"]))
+    # gradient watching analogue (reference wandb.watch, main.py:93-97)
+    assert np.isfinite(float(metrics["grad_norm"]))
 
     trained = {"params": state.params, "batch_stats": state.batch_stats}
     r_after = _recall(model, trained, gb, ds, B)

@@ -215,3 +215,17 @@ def test_evaluate_recall_empty_predictions():
                           np.zeros((0, 3), int), np.zeros((2, 4)),
                           np.asarray([1, 2]))
     assert p2g == [[]]
+
+
+def test_evaluator_save_roundtrip(tmp_path):
+    """SGGEvaluator.save dumps reloadable state (reference
+    BasicSceneGraphEvaluator.save, sgg_eval.py:57-58)."""
+    import numpy as np
+    from sgg_tpu.eval.sgg_eval import SGGEvaluator
+    ev = SGGEvaluator("predcls")
+    ev.recalls[20].append(0.5)
+    fn = str(tmp_path / "state.npy")
+    ev.save(fn)
+    state = np.load(fn, allow_pickle=True).item()
+    assert state["mode"] == "predcls"
+    assert state["recalls"][20] == [0.5]

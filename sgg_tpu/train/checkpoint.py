@@ -385,6 +385,85 @@ def import_torch_relmodel(variables, torch_state: Dict[str, np.ndarray],
                              verbose=verbose)
 
 
+# ---------------------------------------------------------------------------
+# torchvision maskrcnn/fasterrcnn_resnet50_fpn backbone -> our ResNet50FPN.
+# The reference builds its GQA/VTE detector from the COCO-pretrained
+# maskrcnn_resnet50_fpn (rel_model_base.py:58-81); this map lets those
+# weights drive our ResNet50FPN trunk for apples-to-apples runs.
+
+def _bn_updates(tname: str, ours: str,
+                ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    pairs = ((".weight", f"params/{ours}/scale"),
+             (".bias", f"params/{ours}/bias"),
+             (".running_mean", f"batch_stats/{ours}/mean"),
+             (".running_var", f"batch_stats/{ours}/var"))
+    for sfx, key in pairs:
+        v = ts.get(tname + sfx)
+        if v is not None:
+            out[key] = np.asarray(v)
+    return out
+
+
+def resnet50_fpn_flat_updates(
+        torch_state: Dict[str, np.ndarray],
+        prefix: str = "backbone.",
+        ours_prefix: str = "") -> Dict[str, np.ndarray]:
+    """torchvision ``backbone.body``/``backbone.fpn`` tensors -> flat updates
+    for a ``ResNet50FPN`` variables tree. ``ours_prefix`` prepends a module
+    path (e.g. ``"trunk/"`` when the FPN lives inside a bigger model)."""
+    from sgg_tpu.models.resnet import RESNET50_BLOCKS
+
+    ts = torch_state
+    op = ours_prefix
+    flat: Dict[str, np.ndarray] = {}
+
+    def conv(tname, ours):
+        flat.update(_conv_updates(tname, f"params/{op}{ours}", ts))
+
+    # stem
+    conv(f"{prefix}body.conv1", "body/conv1")
+    flat.update(_bn_updates(f"{prefix}body.bn1", f"{op}body/bn1", ts))
+    # residual stages: torch layer{L}.{i} -> ours layer{L}_{i}
+    for stage, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+        for i in range(n_blocks):
+            t = f"{prefix}body.layer{stage}.{i}"
+            o = f"body/layer{stage}_{i}"
+            for c in ("conv1", "conv2", "conv3"):
+                conv(f"{t}.{c}", f"{o}/{c}")
+            for b in ("bn1", "bn2", "bn3"):
+                flat.update(_bn_updates(f"{t}.{b}", f"{op}{o}/{b}", ts))
+            conv(f"{t}.downsample.0", f"{o}/downsample")
+            flat.update(_bn_updates(f"{t}.downsample.1",
+                                    f"{op}{o}/bn_down", ts))
+    # FPN: inner_blocks.{i}(.0) -> lateral_c{i+2}; layer_blocks -> output
+    for i, lvl in enumerate(("c2", "c3", "c4", "c5")):
+        for tbase in (f"{prefix}fpn.inner_blocks.{i}.0",
+                      f"{prefix}fpn.inner_blocks.{i}"):
+            if f"{tbase}.weight" in ts:
+                conv(tbase, f"fpn/lateral_{lvl}")
+                break
+        for tbase in (f"{prefix}fpn.layer_blocks.{i}.0",
+                      f"{prefix}fpn.layer_blocks.{i}"):
+            if f"{tbase}.weight" in ts:
+                conv(tbase, f"fpn/output_{lvl}")
+                break
+    return flat
+
+
+def import_torch_resnet50_fpn(variables, torch_state: Dict[str, np.ndarray],
+                              prefix: str = "backbone.",
+                              ours_prefix: str = "",
+                              verbose: bool = False):
+    """Transplant a torchvision resnet50-FPN backbone state_dict (as numpy)
+    into a ``ResNet50FPN`` variables tree ({'params':..., 'batch_stats':...})."""
+    return optimistic_update(
+        variables,
+        resnet50_fpn_flat_updates(torch_state, prefix=prefix,
+                                  ours_prefix=ours_prefix),
+        verbose=verbose)
+
+
 def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
     """Read a .pth checkpoint into a {name: numpy} dict (CPU torch)."""
     import torch

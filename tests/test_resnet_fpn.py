@@ -116,3 +116,81 @@ def test_fpn_detector_trains():
     for d in (rl, hl):
         for k, v in d.items():
             assert np.isfinite(float(v)), (k, v)
+
+
+def test_torchvision_resnet50_fpn_import():
+    """Every tensor of a torchvision-format resnet50-FPN backbone state_dict
+    maps onto our ResNet50FPN tree with matching shapes (so COCO-pretrained
+    maskrcnn weights can drive the GQA/VTE trunk, rel_model_base.py:58-81)."""
+    import jax.tree_util as tu
+
+    from sgg_tpu.models.resnet import RESNET50_BLOCKS
+    from sgg_tpu.train.checkpoint import resnet50_fpn_flat_updates
+
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(name, cin, cout, k):
+        # small kernels + ~unit running_var keep the 50-layer forward finite
+        sd[f"{name}.weight"] = (rng.randn(cout, cin, k, k) * 0.05).astype(
+            np.float32)
+
+    def bnt(name, c):
+        for sfx in ("weight", "bias", "running_mean"):
+            sd[f"{name}.{sfx}"] = rng.rand(c).astype(np.float32)
+        sd[f"{name}.running_var"] = (0.8 + rng.rand(c) * 0.4).astype(
+            np.float32)
+
+    conv("backbone.body.conv1", 3, 64, 7)
+    bnt("backbone.body.bn1", 64)
+    cin = 64
+    for stage, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+        w = 64 * 2 ** (stage - 1)
+        for i in range(n_blocks):
+            t = f"backbone.body.layer{stage}.{i}"
+            conv(f"{t}.conv1", cin, w, 1)
+            conv(f"{t}.conv2", w, w, 3)
+            conv(f"{t}.conv3", w, w * 4, 1)
+            for b, c in (("bn1", w), ("bn2", w), ("bn3", w * 4)):
+                bnt(f"{t}.{b}", c)
+            if i == 0:
+                conv(f"{t}.downsample.0", cin, w * 4, 1)
+                bnt(f"{t}.downsample.1", w * 4)
+            cin = w * 4
+    for i, cin_l in enumerate((256, 512, 1024, 2048)):
+        conv(f"backbone.fpn.inner_blocks.{i}.0", cin_l, 256, 1)
+        sd[f"backbone.fpn.inner_blocks.{i}.0.bias"] = rng.rand(256).astype(
+            np.float32)
+        conv(f"backbone.fpn.layer_blocks.{i}.0", 256, 256, 3)
+        sd[f"backbone.fpn.layer_blocks.{i}.0.bias"] = rng.rand(256).astype(
+            np.float32)
+
+    model = ResNet50FPN(dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    flat = resnet50_fpn_flat_updates(sd)
+
+    # exact coverage: every model leaf that is a backbone tensor must be
+    # updated with a matching shape
+    tree_paths = {
+        "/".join(str(getattr(k, "key", k)) for k in path): leaf.shape
+        for path, leaf in tu.tree_flatten_with_path(variables)[0]}
+    for key, arr in flat.items():
+        assert key in tree_paths, key
+        assert tuple(arr.shape) == tuple(tree_paths[key]), (
+            key, arr.shape, tree_paths[key])
+    # and the update covers the whole tree (no orphan param left random)
+    assert set(flat) == set(tree_paths), (
+        set(tree_paths) - set(flat), set(flat) - set(tree_paths))
+
+    from sgg_tpu.train.checkpoint import import_torch_resnet50_fpn
+    new = import_torch_resnet50_fpn(variables, sd)
+    got = np.asarray(new["params"]["body"]["conv1"]["kernel"])
+    want = np.transpose(sd["backbone.body.conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want)
+    np.testing.assert_allclose(
+        np.asarray(new["batch_stats"]["body"]["layer2_0"]["bn_down"]["var"]),
+        sd["backbone.body.layer2.0.downsample.1.running_var"])
+    # imported trunk still runs
+    out = model.apply(new, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert np.isfinite(np.asarray(out["pool"])).all()

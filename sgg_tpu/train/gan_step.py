@@ -129,6 +129,7 @@ def make_gan_train_step(model, gan, config: Config):
         sgg = state.sgg.apply_gradients(grads)
         sgg = sgg.replace(batch_stats=mutated["batch_stats"])
         metrics.update(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
 
         boxes01 = scale_boxes_01(batch.boxes, batch.im_hw)
 
@@ -201,6 +202,7 @@ def make_gan_train_step(model, gan, config: Config):
             g_updates, g_opt_state = state.g_tx.update(
                 g_grads, state.g_opt_state, state.gan_params)
             gan_params = optax.apply_updates(state.gan_params, g_updates)
+            metrics["grad_norm_G"] = optax.global_norm(g_grads)
             gan_stats = g_mut["batch_stats"]
             if use_rec:
                 # reconstruction also updates the SGG model (main.py:173-176)
@@ -263,6 +265,7 @@ def make_gan_train_step(model, gan, config: Config):
                 d_grads, state.d_opt_state, gan_params)
             gan_params = optax.apply_updates(gan_params, d_updates)
             metrics.update(d_losses)
+            metrics["grad_norm_D"] = optax.global_norm(d_grads)
             # advance the spectral-norm power-iteration vectors once per
             # step (torch updates them on every train-mode D forward)
             _, sn_mut = gan.apply(
@@ -274,7 +277,8 @@ def make_gan_train_step(model, gan, config: Config):
         else:
             d_opt_state = state.d_opt_state
 
-        metrics["total"] = sum(jnp.asarray(v) for v in metrics.values())
+        metrics["total"] = sum(jnp.asarray(v) for k, v in metrics.items()
+                               if not k.startswith("grad_norm"))
         new_state = state.replace(sgg=sgg, gan_params=gan_params,
                                   gan_stats=gan_stats,
                                   g_opt_state=g_opt_state,

@@ -146,3 +146,40 @@ def test_objcls_mode_parity():
     our_res = ours.mean_recalls()
     for k in (20, 50, 100):
         assert abs(ref_res[k] - our_res[k]) < 1e-9, k
+
+
+@pytest.mark.parametrize("multiple_preds", [False, True])
+def test_mean_recall_parity_with_reference(multiple_preds):
+    """MeanRecallEvaluator vs the reference's own KERN-style pipeline
+    (eval_entry per-predicate filtering + calculate_mR_from_evaluator_list,
+    sgg_eval.py:420-501): identical mR@K on identical scenes, including the
+    nan-at-R@100 skip and the full-predicate denominator."""
+    RefEval = _load_reference_evaluator()
+    from lib.sgg_eval import calculate_mR_from_evaluator_list, eval_entry
+
+    from sgg_tpu.eval.sgg_eval import MeanRecallEvaluator
+
+    n_classes, n_preds = 12, 7
+    names = ["__bg__"] + [f"p{i}" for i in range(1, n_preds)]
+    evaluator_list = [
+        (i, names[i], {"predcls": RefEval("predcls")})
+        for i in range(1, n_preds)]
+    mp_list = [
+        (i, names[i], {"predcls": RefEval("predcls", multiple_preds=True)})
+        for i in range(1, n_preds)]
+    ours = MeanRecallEvaluator("predcls", names,
+                               multiple_preds=multiple_preds)
+
+    rng = np.random.RandomState(7)
+    for _ in range(6):
+        gt, pred = _random_scene(rng, rng.randint(4, 9), rng.randint(2, 8),
+                                 n_classes=n_classes, n_preds=n_preds)
+        eval_entry("predcls", gt, pred, evaluator_list, mp_list)
+        ours.add_image(gt, pred)
+
+    ref_mr = calculate_mR_from_evaluator_list(
+        mp_list if multiple_preds else evaluator_list, "predcls")
+    our_mr = ours.results()
+    for k in (20, 50, 100):
+        assert abs(ref_mr[f"R@{k}"] - our_mr[f"mR@{k}"]) < 1e-9, (
+            multiple_preds, k, ref_mr, our_mr)

@@ -10,25 +10,47 @@ into full-resolution fake feature maps.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix(n_in: int, n_out: int):
+    """Row i averages input bin [floor(i*In/Out), ceil((i+1)*In/Out)) —
+    exactly torch ``adaptive_avg_pool2d`` binning."""
+    P = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        s = (i * n_in) // n_out
+        e = -(-((i + 1) * n_in) // n_out)
+        P[i, s:e] = 1.0 / (e - s)
+    return P
+
+
 def adaptive_avg_pool(x: jnp.ndarray, out_hw) -> jnp.ndarray:
-    """torch ``adaptive_avg_pool2d`` on NHWC via area-style resize."""
+    """torch ``adaptive_avg_pool2d`` on NHWC, as two bin-average matmuls
+    (exact parity with the reference, and MXU-friendly)."""
     H, W = out_hw
     if x.shape[-3] == H and x.shape[-2] == W:
         return x
-    return jax.image.resize(x, (*x.shape[:-3], H, W, x.shape[-1]),
-                            method="linear", antialias=True)
+    ph = jnp.asarray(_adaptive_pool_matrix(x.shape[-3], H), x.dtype)
+    pw = jnp.asarray(_adaptive_pool_matrix(x.shape[-2], W), x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", ph, x)
+    return jnp.einsum("pw,...owc->...opc", pw, x)
 
 
 def upsample_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
-    return jax.image.resize(x, (*x.shape[:-3], *out_hw, x.shape[-1]),
-                            method="nearest")
+    """torch legacy-nearest upsampling: out[i] = in[floor(i * In / Out)]
+    (``F.upsample(mode='nearest')``; differs from jax.image.resize's
+    half-pixel-centered nearest for non-integer scales)."""
+    H, W = out_hw
+    ih = (np.arange(H) * x.shape[-3]) // H
+    iw = (np.arange(W) * x.shape[-2]) // W
+    x = jnp.take(x, jnp.asarray(ih), axis=-3)
+    return jnp.take(x, jnp.asarray(iw), axis=-2)
 
 
 class RefinementModule(nn.Module):

@@ -464,6 +464,96 @@ def import_torch_resnet50_fpn(variables, torch_state: Dict[str, np.ndarray],
         verbose=verbose)
 
 
+# ---------------------------------------------------------------------------
+# Reference GAN generator (augment/gan.py G_* modules) -> our Generator.
+# Discriminators are not mapped: the reference wraps them in
+# torch spectral_norm (weight_orig/u/v reparameterization) and their weights
+# never transfer for evaluation purposes.
+
+def _bn1d_updates(tname: str, ours: str,
+                  ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for sfx, key in ((".weight", f"params/{ours}/scale"),
+                     (".bias", f"params/{ours}/bias"),
+                     (".running_mean", f"batch_stats/{ours}/mean"),
+                     (".running_var", f"batch_stats/{ours}/var")):
+        v = ts.get(tname + sfx)
+        if v is not None:
+            out[key] = np.asarray(v)
+    return out
+
+
+def gan_generator_flat_updates(
+        torch_state: Dict[str, np.ndarray], num_gcn_layers: int = 5,
+        batch_norm: bool = True) -> Dict[str, np.ndarray]:
+    """Reference ``GAN`` G_* tensors -> flat updates for our ``Generator``.
+
+    Covers G_obj_embed/G_rel_embed, the GCN stack (build_mlp Linears at
+    Sequential indices 0/3, BatchNorm1d at 1/4 when ``mlp_normalization=
+    'batch'`` — the final-layer net has no trailing BN), the G_node
+    spatialization convs, G_proj and the CRN (refinement_modules.{i}.net
+    conv@0/bn@1/conv@3/bn@4 + output_conv.0)."""
+    ts = torch_state
+    flat: Dict[str, np.ndarray] = {}
+    for tname, ours in (("G_obj_embed", "obj_embed"),
+                        ("G_rel_embed", "rel_embed")):
+        w = ts.get(f"{tname}.weight")
+        if w is not None:
+            flat[f"params/{ours}/embedding"] = np.asarray(w)
+
+    for i in range(num_gcn_layers):
+        final = i == num_gcn_layers - 1
+        for net in ("net1", "net2"):
+            base_t = f"G_gcn.gconvs.{i}.{net}"
+            base_o = f"gcn/gconv_{i}/{net}"
+            if batch_norm:
+                lin_idx = ("0", "3")
+                flat.update(_bn1d_updates(
+                    f"{base_t}.1", f"{base_o}/MaskedBatchNorm_0", ts))
+                if not final:
+                    flat.update(_bn1d_updates(
+                        f"{base_t}.4", f"{base_o}/MaskedBatchNorm_1", ts))
+            else:
+                # without BN: [Linear, ReLU, Linear(, ReLU)] -> 0 and 2
+                lin_idx = ("0", "2")
+            for j, tidx in enumerate(lin_idx):
+                flat.update(_dense_updates(f"{base_t}.{tidx}",
+                                           f"params/{base_o}/Dense_{j}", ts))
+
+    flat.update(_conv_updates("G_node.0", "params/node_conv0", ts))
+    flat.update(_conv_updates("G_node.2", "params/node_conv1", ts))
+    flat.update(_conv_updates("G_proj", "params/proj", ts))
+
+    # CRN: 3 refinement modules + output conv
+    for i in range(8):
+        base_t = f"G_refine.refinement_modules.{i}.net"
+        if f"{base_t}.0.weight" not in ts:
+            break
+        base_o = f"refine/mod{i}"
+        flat.update(_conv_updates(f"{base_t}.0", f"params/{base_o}/conv0",
+                                  ts))
+        flat.update(_bn1d_updates(f"{base_t}.1", f"{base_o}/bn0", ts))
+        flat.update(_conv_updates(f"{base_t}.3", f"params/{base_o}/conv1",
+                                  ts))
+        flat.update(_bn1d_updates(f"{base_t}.4", f"{base_o}/bn1", ts))
+    flat.update(_conv_updates("G_refine.output_conv.0",
+                              "params/refine/output_conv", ts))
+    return flat
+
+
+def import_torch_gan_generator(variables, torch_state: Dict[str, np.ndarray],
+                               num_gcn_layers: int = 5,
+                               batch_norm: bool = True,
+                               verbose: bool = False):
+    """Transplant reference GAN generator weights into our ``Generator``."""
+    return optimistic_update(
+        variables,
+        gan_generator_flat_updates(torch_state,
+                                   num_gcn_layers=num_gcn_layers,
+                                   batch_norm=batch_norm),
+        verbose=verbose)
+
+
 def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
     """Read a .pth checkpoint into a {name: numpy} dict (CPU torch)."""
     import torch

@@ -208,6 +208,13 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
             if with_mr:
                 for rk, v in mr_lists[key].results().items():
                     results[f"{m}/{name}_{rk}_{sfx}"] = v
+    # headline scalar: mean of every R@K over all regimes and GC settings
+    # (reference 'avg/%s_R', lib/eval.py:91,114)
+    r_vals = [v for k, v in results.items()
+              if "_R@" in k and np.isfinite(v)]
+    if r_vals:
+        results[f"avg/{name}_R"] = float(np.mean(r_vals))
+
     if log_fn is not None:
         log_fn(results)
     if collect_entries:

@@ -39,3 +39,50 @@ def test_repro_metadata_captured():
     cfg = Config()
     assert cfg.hostname
     assert cfg.gitcommit
+
+
+def test_flag_parity_with_reference_parser():
+    """Every flag of the reference ArgumentParser (config.py setup_parser)
+    exists in our Config with a matching default, modulo documented
+    TPU-substituted flags."""
+    import sys
+    import pytest
+
+    from reference_utils import load_reference
+    load_reference()
+    try:
+        import config as ref_config_mod
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference config unavailable: {e}")
+    from sgg_tpu.config import Config
+
+    conf = ref_config_mod.ModelConfig.__new__(ref_config_mod.ModelConfig)
+    parser = conf.setup_parser()
+    ours = Config()
+    # flags whose role is replaced by TPU-native machinery (documented):
+    substituted = {
+        "num_gpus",      # device mesh replaces GPU count
+        "nosave",        # we always checkpoint via save_dir
+        "torch_version", # torch-internal
+    }
+    mismatched_defaults = []
+    missing = []
+    for action in parser._actions:
+        dest = action.dest
+        if dest in ("help",) or dest in substituted:
+            continue
+        if not hasattr(ours, dest):
+            missing.append(dest)
+            continue
+        ref_d, our_d = action.default, getattr(ours, dest)
+        if dest in ("steps", "ganlosses"):
+            continue  # stored parsed (tuple) on our side, tested elsewhere
+        if isinstance(ref_d, (int, float, str, bool, type(None))) and \
+                ref_d != our_d and (ref_d or our_d):
+            mismatched_defaults.append((dest, ref_d, our_d))
+    assert not missing, f"flags missing from Config: {missing}"
+    # defaults may deviate only for documented TPU-relevant knobs
+    allowed_deviation = {"device", "batch_size", "num_workers", "data",
+                         "save_dir", "ckpt"}
+    bad = [m for m in mismatched_defaults if m[0] not in allowed_deviation]
+    assert not bad, f"default mismatches: {bad}"

@@ -338,7 +338,12 @@ class Trainer:
                 with_images=self.with_images, verbose=verbose,
                 collect_entries=collect_entries,
                 detector=self.detector, det_variables=self.det_variables,
-                log_fn=lambda d: self.log_fn(d, step=self.global_iter))
+                # eval results go to W&B as summaries, repeated at test time
+                # to survive the trailing-sync loss (reference lib/eval.py:
+                # 108-110, log_repeats=5 if is_test)
+                log_fn=lambda d, test=name.startswith("test"): self.log_fn(
+                    d, step=self.global_iter, is_summary=True,
+                    log_repeats=5 if test else 1))
             if collect_entries and "_entries" in res:
                 results.setdefault("_entries", {})[name] = res.pop("_entries")
             results.update(res)

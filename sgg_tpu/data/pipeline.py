@@ -34,6 +34,13 @@ def load_image(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), np.float32) / 255.0
 
 
+def load_image_u8(path: str) -> np.ndarray:
+    """Decode an image file to uint8 RGB (the native-prep fast path)."""
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
 def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
                     box_coordinates: str, is_train: bool,
                     rng: np.random.RandomState, im_scale: int = IM_SCALE,
@@ -46,18 +53,15 @@ def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
     original pixels.
 
     With ``uint8=True`` the canvas stays raw uint8 (ImageNet-mean padding)
-    and normalization happens on device — 4x less host→device traffic.
+    and normalization happens on device — 4x less host→device traffic. A
+    uint8 *input* image on that path takes the native one-pass prep
+    (``sgg_tpu/native/image_prep.cpp``: triangle resize + flip + mean-padded
+    canvas, no float round trips); PIL otherwise.
     """
     h, w = image.shape[:2]
     s = im_scale / max(h, w)
     ch, cw = int(round(h * s)), int(round(w * s))
     ch, cw = min(ch, im_scale), min(cw, im_scale)
-
-    # resize with PIL (bilinear) — runs in worker threads
-    from PIL import Image
-    img = Image.fromarray((image * 255).astype(np.uint8)).resize(
-        (cw, ch), Image.BILINEAR)
-    img = np.asarray(img, np.float32) / 255.0
 
     boxes = boxes.astype(np.float32).copy()
     if box_coordinates == "box_scale":
@@ -69,22 +73,38 @@ def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
 
     flipped = is_train and rng.rand() > 0.5
     if flipped:
-        img = img[:, ::-1]
         x1 = cw - boxes[:, 2].copy()
         x2 = cw - boxes[:, 0].copy()
         boxes[:, 0], boxes[:, 2] = x1, x2
 
-    if uint8:
-        canvas = np.empty((im_scale, im_scale, 3), np.uint8)
-        canvas[:] = (IMAGENET_MEAN * 255).astype(np.uint8)
-        canvas[:ch, :cw] = np.round(img * 255).astype(np.uint8)
-    else:
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
-        canvas = np.zeros((im_scale, im_scale, 3), np.float32)
-        canvas[:ch, :cw] = img
-
     if is_train and filter_duplicates and len(rels):
         rels = filter_duplicate_rels(rels, rng)
+
+    mean_u8 = (IMAGENET_MEAN * 255).astype(np.uint8)
+    canvas = None
+    if uint8 and image.dtype == np.uint8:
+        from sgg_tpu import native
+        canvas = native.prepare_image_u8(image, im_scale, ch, cw, flipped,
+                                         mean_u8)
+    if canvas is None:
+        # PIL path: equivalent semantics (triangle/antialiased bilinear)
+        from PIL import Image
+        if image.dtype == np.uint8:
+            pil = Image.fromarray(image)
+        else:
+            pil = Image.fromarray((image * 255).astype(np.uint8))
+        img = np.asarray(pil.resize((cw, ch), Image.BILINEAR), np.float32)
+        img /= 255.0
+        if flipped:
+            img = img[:, ::-1]
+        if uint8:
+            canvas = np.empty((im_scale, im_scale, 3), np.uint8)
+            canvas[:] = mean_u8
+            canvas[:ch, :cw] = np.round(img * 255).astype(np.uint8)
+        else:
+            img = (img - IMAGENET_MEAN) / IMAGENET_STD
+            canvas = np.zeros((im_scale, im_scale, 3), np.float32)
+            canvas[:ch, :cw] = img
 
     return canvas, boxes, rels, (ch, cw)
 
@@ -169,8 +189,11 @@ class BatchLoader:
     def _make_example(self, idx: int, rng: np.random.RandomState):
         import os
         if self.with_images and self.ds.filenames:
-            img = load_image(os.path.join(self.ds.images_dir,
-                                          self.ds.filenames[idx]))
+            path = os.path.join(self.ds.images_dir, self.ds.filenames[idx])
+            # uint8 transfer format -> keep the decode uint8 so the native
+            # one-pass prep applies
+            img = (load_image_u8(path) if self.image_format == "uint8"
+                   else load_image(path))
         else:
             # feature-level / test operation: synthesize a blank canvas with
             # the boxes' extent as the "image"

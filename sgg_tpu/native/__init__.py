@@ -32,7 +32,8 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        srcs = [os.path.join(_HERE, s) for s in ("rects.cpp", "collate.cpp")]
+        srcs = [os.path.join(_HERE, s)
+                for s in ("rects.cpp", "collate.cpp", "image_prep.cpp")]
         stale = (not os.path.exists(_LIB_PATH)) or any(
             os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in srcs)
         if stale:
@@ -51,6 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.draw_union_rects.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.prepare_image_u8.restype = None
+        lib.prepare_image_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.pack_graph_batch.restype = ctypes.c_int64
         lib.pack_graph_batch.argtypes = [
@@ -162,3 +169,25 @@ def pack_graph_batch(
             out_rel_mask[b, w] = 1
             w += 1
     return out_boxes, out_classes, out_node_mask, out_rels, out_rel_mask, dropped
+
+
+def prepare_image_u8(img: np.ndarray, canvas_size: int, ch: int, cw: int,
+                     flip: bool, fill) -> Optional[np.ndarray]:
+    """Native one-pass image prep: PIL-style triangle (antialiased bilinear)
+    resize of a (h, w, 3) uint8 image to (ch, cw), optional horizontal flip,
+    written into a (S, S, 3) uint8 canvas padded with ``fill``.
+
+    Returns None when the native library is unavailable (callers fall back
+    to the PIL path with equivalent semantics)."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    assert img.ndim == 3 and img.shape[2] == 3, img.shape
+    canvas = np.empty((canvas_size, canvas_size, 3), np.uint8)
+    fill_arr = np.ascontiguousarray(fill, dtype=np.uint8)
+    lib.prepare_image_u8(
+        _ptr(img, ctypes.c_uint8), img.shape[0], img.shape[1],
+        _ptr(canvas, ctypes.c_uint8), canvas_size, ch, cw,
+        1 if flip else 0, _ptr(fill_arr, ctypes.c_uint8))
+    return canvas

@@ -465,10 +465,9 @@ def import_torch_resnet50_fpn(variables, torch_state: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
-# Reference GAN generator (augment/gan.py G_* modules) -> our Generator.
-# Discriminators are not mapped: the reference wraps them in
-# torch spectral_norm (weight_orig/u/v reparameterization) and their weights
-# never transfer for evaluation purposes.
+# Reference GAN (augment/gan.py) -> our GANModel. Generator G_* modules map
+# structurally; the spectral-normed discriminators map through the
+# weight_orig/u/v reparameterization (see _snconv_updates).
 
 def _bn1d_updates(tname: str, ours: str,
                   ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -554,10 +553,105 @@ def import_torch_gan_generator(variables, torch_state: Dict[str, np.ndarray],
         verbose=verbose)
 
 
-def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
-    """Read a .pth checkpoint into a {name: numpy} dict (CPU torch)."""
+def _snconv_updates(tname: str, ours: str,
+                    ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torch ``spectral_norm(Conv2d)`` tensors -> our ``SNConv`` updates.
+
+    torch's reparameterization (reference gan.py:70) stores ``weight_orig``
+    plus power-iteration vectors ``weight_u`` (out,) / ``weight_v``
+    (in*kh*kw,) and computes the effective weight W_eff = weight_orig /
+    sigma with sigma = u . (W_mat @ v). Flax ``nn.SpectralNorm`` recomputes
+    sigma at every forward by ONE power-iteration step from its stored ``u``
+    over ``kernel.reshape(-1, out)``; the two flattening orders differ only
+    by an index permutation and l2-normalization is permutation-invariant,
+    so at torch's converged fixed point mapping ``weight_orig -> kernel``
+    and ``weight_u -> u`` reproduces torch's eval forward exactly. The
+    stored ``sigma`` is also set (torch's scalar) for completeness.
+    Falls back to a plain conv mapping when the checkpoint was saved with
+    ``SN=False`` (no ``weight_orig`` suffix).
+    """
+    out: Dict[str, np.ndarray] = {}
+    w = ts.get(f"{tname}.weight_orig")
+    if w is None:
+        return {f"params/{k}": v
+                for k, v in _conv_updates(tname, f"{ours}/Conv_0",
+                                          ts).items()}
+    out[f"params/{ours}/Conv_0/kernel"] = np.transpose(
+        np.asarray(w), (2, 3, 1, 0))
+    b = ts.get(f"{tname}.bias")
+    if b is not None:
+        out[f"params/{ours}/Conv_0/bias"] = np.asarray(b)
+    u = ts.get(f"{tname}.weight_u")
+    v = ts.get(f"{tname}.weight_v")
+    stats = f"batch_stats/{ours}/SpectralNorm_0/Conv_0/kernel"
+    if u is not None:
+        out[f"{stats}/u"] = np.asarray(u)[None, :]
+        if v is not None:
+            wm = np.asarray(w).reshape(np.asarray(u).shape[0], -1)
+            out[f"{stats}/sigma"] = np.asarray(
+                np.asarray(u) @ (wm @ np.asarray(v)), np.float32)
+    return out
+
+
+def gan_discriminator_flat_updates(
+        torch_state: Dict[str, np.ndarray],
+        largeD: bool = False) -> Dict[str, np.ndarray]:
+    """Reference GAN discriminator tensors -> flat updates for ``GANModel``.
+
+    Covers the two class-conditional patch discriminators (reference
+    gan.py:74-86, Sequential conv indices 0/2/4/6) and the global fmap
+    discriminator (gan.py:87-103; with ``largeD`` the extra 1x1 convs sit at
+    Sequential indices 2/7/12, otherwise those slots are parameterless
+    ``nn.Identity``)."""
+    ts = torch_state
+    flat: Dict[str, np.ndarray] = {}
+    for d in ("D_nodes", "D_edges"):
+        for j, ti in enumerate((0, 2, 4, 6)):
+            flat.update(_snconv_updates(f"{d}.{ti}", f"{d}/SNConv_{j}", ts))
+    tidx = (0, 2, 5, 7, 10, 12, 15) if largeD else (0, 5, 10, 15)
+    for j, ti in enumerate(tidx):
+        flat.update(_snconv_updates(f"D_global.{ti}",
+                                    f"D_global/SNConv_{j}", ts))
+    return flat
+
+
+def gan_flat_updates(torch_state: Dict[str, np.ndarray],
+                     num_gcn_layers: int = 5, batch_norm: bool = True,
+                     largeD: bool = False) -> Dict[str, np.ndarray]:
+    """Full reference ``GAN.state_dict()`` -> flat updates for ``GANModel``
+    (generator re-rooted under the ``G`` submodule + all three Ds)."""
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in gan_generator_flat_updates(
+            torch_state, num_gcn_layers=num_gcn_layers,
+            batch_norm=batch_norm).items():
+        coll, rest = k.split("/", 1)
+        flat[f"{coll}/G/{rest}"] = v
+    flat.update(gan_discriminator_flat_updates(torch_state, largeD=largeD))
+    return flat
+
+
+def import_torch_gan(variables, torch_state: Dict[str, np.ndarray],
+                     num_gcn_layers: int = 5, batch_norm: bool = True,
+                     largeD: bool = False, verbose: bool = False):
+    """Transplant a full reference GAN state_dict (G + spectral-norm Ds)
+    into a ``GANModel`` variables tree."""
+    return optimistic_update(
+        variables,
+        gan_flat_updates(torch_state, num_gcn_layers=num_gcn_layers,
+                         batch_norm=batch_norm, largeD=largeD),
+        verbose=verbose)
+
+
+def load_torch_state_dict(path: str,
+                          key: str = "state_dict") -> Dict[str, "np.ndarray"]:
+    """Read a .pth checkpoint into a {name: numpy} dict (CPU torch).
+
+    ``key`` selects the sub-dict inside a full training checkpoint — the
+    reference saves the model under ``state_dict`` and the GAN under ``gan``
+    (pytorch_misc.py:226-231, main.py:249-254); a bare state_dict loads
+    as-is."""
     import torch
     ckpt = torch.load(path, map_location="cpu")
-    state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    state = ckpt.get(key, ckpt) if isinstance(ckpt, dict) else ckpt
     return {k: v.numpy() for k, v in state.items()
             if hasattr(v, "numpy")}

@@ -93,19 +93,32 @@ def generate_proposals(anchors, obj_logits, deltas, im_hw, *,
         top_s, top_i = jax.lax.top_k(jnp.where(valid, s, -jnp.inf), k)
         idx, mask = nms(b[top_i], top_s, top_s > -jnp.inf, nms_thresh,
                         post_nms_top_n)
-        return b[top_i][idx], top_s[idx], mask
+        # compose indices instead of chaining gathers: a gather-of-gather
+        # output (b[top_i][idx]) generates code that crashes this
+        # toolchain's TPU worker (kernel fault, bisected 2026-08)
+        return b[top_i[idx]], top_s[idx], mask
 
     return jax.vmap(one)(boxes, obj_logits, im_hw)
 
 
 def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
                            im_hw, *, score_thresh: float, nms_thresh: float,
-                           detections_per_img: int):
+                           detections_per_img: int,
+                           nms_candidates: int = 1024):
     """torchvision RoIHeads.postprocess_detections, fixed shapes.
 
     class_logits (B, P, C); box_deltas (B, P, C*4); proposals (B, P, 4).
     Returns dict with boxes (B, D, 4), labels (B, D), scores (B, D),
     mask (B, D).
+
+    ``nms_candidates`` caps the per-image (proposal, class) candidate set
+    entering NMS to the top-M scores: the fixed-shape greedy NMS needs an
+    (M, M) IoU matrix, and the raw P*(C-1) grid (512*150 = 76800 at the
+    reference's VG settings) would need 23 GB of IoU — torchvision avoids
+    this with a data-dependent ``scores > score_thresh`` gather that has no
+    static shape. The cap is exact whenever at most M candidates clear
+    ``score_thresh`` (D is 50; candidates are score-sorted, so only
+    pathological score distributions are affected).
     """
     B, P, C = class_logits.shape
     D = detections_per_img
@@ -126,11 +139,18 @@ def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
         valid &= jnp.repeat(pmask, C - 1)
         # min box size (torchvision min_size=1e-2 after regression)
         valid &= ((b[:, 2] - b[:, 0]) > 1e-2) & ((b[:, 3] - b[:, 1]) > 1e-2)
+        # top-M candidate cap (see docstring)
+        M = min(nms_candidates, s.shape[0])
+        cs, ci = jax.lax.top_k(jnp.where(valid, s, -jnp.inf), M)
+        clbl = lbl[ci]
+        cvalid = cs > -jnp.inf
         # per-class NMS via the coordinate-offset trick
-        offset = lbl.astype(jnp.float32)[:, None] * (
+        offset = clbl.astype(jnp.float32)[:, None] * (
             jnp.max(hw) + 1000.0)
-        idx, mask = nms(b + offset, s, valid, nms_thresh, D)
-        return b[idx], lbl[idx], s[idx], mask
+        idx, mask = nms(b[ci] + offset, cs, cvalid, nms_thresh, D)
+        # composed indices, not chained gathers (see generate_proposals)
+        fi = ci[idx]
+        return b[fi], lbl[fi], jnp.where(mask, cs[idx], 0.0), mask
 
     boxes, labels, det_scores, mask = jax.vmap(one)(
         boxes_all, scores, prop_mask, im_hw)
@@ -151,6 +171,10 @@ class FasterRCNNVGG(nn.Module):
     rpn_pre_nms_top_n: int = 1000
     rpn_post_nms_top_n: int = 512
     rpn_nms_thresh: float = 0.7
+    # top-M candidate cap ahead of each fixed-shape NMS (see
+    # postprocess_detections)
+    nms_candidates: int = 1024
+    rpn_nms_candidates: int = 2048
     dtype: Any = jnp.bfloat16
 
     def features(self, images):
@@ -190,7 +214,8 @@ class FasterRCNNVGG(nn.Module):
             score_thresh=(self.score_thresh if score_thresh is None
                           else score_thresh),
             nms_thresh=self.nms_thresh,
-            detections_per_img=self.detections_per_img)
+            detections_per_img=self.detections_per_img,
+            nms_candidates=self.nms_candidates)
         dets.update({
             "fmap": fmap, "proposals": proposals, "prop_mask": prop_mask,
             "rpn_obj_logits": obj_logits, "rpn_deltas": rpn_deltas,
@@ -222,6 +247,10 @@ class FasterRCNNFPN(nn.Module):
     rpn_pre_nms_top_n: int = 1000   # per level
     rpn_post_nms_top_n: int = 512
     rpn_nms_thresh: float = 0.7
+    # top-M candidate cap ahead of each fixed-shape NMS (see
+    # postprocess_detections)
+    nms_candidates: int = 1024
+    rpn_nms_candidates: int = 2048
     dtype: Any = jnp.bfloat16
 
     LEVELS = ("p2", "p3", "p4", "p5", "pool")
@@ -268,11 +297,18 @@ class FasterRCNNFPN(nn.Module):
             ws = b[:, 2] - b[:, 0]
             hs = b[:, 3] - b[:, 1]
             valid = (ws > 1e-3) & (hs > 1e-3)
+            # top-M cap across the concatenated levels: bounds the (M, M)
+            # IoU matrix of the fixed-shape NMS (same rationale as
+            # postprocess_detections.nms_candidates)
+            M = min(self.rpn_nms_candidates, s.shape[0])
+            cs, ci = jax.lax.top_k(jnp.where(valid, s, -jnp.inf), M)
+            clv = lv[ci]
             # level-separated NMS via coordinate offsets (batched_nms)
-            offset = lv[:, None] * (jnp.max(hw) + 1000.0)
-            idx, mask = nms(b + offset, s, valid, self.rpn_nms_thresh,
-                            self.rpn_post_nms_top_n)
-            return b[idx], mask
+            offset = clv[:, None] * (jnp.max(hw) + 1000.0)
+            idx, mask = nms(b[ci] + offset, cs, cs > -jnp.inf,
+                            self.rpn_nms_thresh, self.rpn_post_nms_top_n)
+            # composed indices, not chained gathers (see generate_proposals)
+            return b[ci[idx]], mask
 
         proposals, prop_mask = jax.vmap(one)(cat_boxes, cat_scores,
                                              cat_lvl, im_hw)
@@ -293,7 +329,8 @@ class FasterRCNNFPN(nn.Module):
             score_thresh=(self.score_thresh if score_thresh is None
                           else score_thresh),
             nms_thresh=self.nms_thresh,
-            detections_per_img=self.detections_per_img)
+            detections_per_img=self.detections_per_img,
+            nms_candidates=self.nms_candidates)
         dets.update({
             # the relation head's global feature map: last pyramid level
             "fmap": pyramid["pool"], "pyramid": pyramid,

@@ -36,6 +36,9 @@ import jax
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 13.0  # 2080Ti-class estimate, see docstring
+# sgdet test eval: "a couple hours" for the 10k-image GQA test set
+# (reference README.md:243) ~= 1.4 img/s
+REFERENCE_SGDET_EVAL_IMAGES_PER_SEC = 1.4
 BATCH = 24
 MAX_NODES = 40
 MAX_EDGES = 256
@@ -127,7 +130,17 @@ def main():
     float(metrics["total"])
     pipe_per_sec = BATCH * n_pipe / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    # ---- sgdet end-to-end eval (detector -> all detection pairs -> IMP):
+    # the reference's slowest protocol (~1.4 img/s: "a couple hours" for
+    # the 10k-image GQA test set, README.md:243). Guarded so a failure
+    # cannot break the one-JSON-line contract.
+    sgdet_per_sec = None
+    try:
+        sgdet_per_sec = _bench_sgdet_eval()
+    except Exception:
+        pass
+
+    line = {
         "metric": "sgcls_train_images_per_sec",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
@@ -135,7 +148,50 @@ def main():
         "pipeline_images_per_sec": round(pipe_per_sec, 2),
         "pipeline_vs_baseline": round(
             pipe_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
-    }))
+    }
+    if sgdet_per_sec is not None:
+        line["sgdet_eval_images_per_sec"] = round(sgdet_per_sec, 2)
+        line["sgdet_eval_vs_baseline"] = round(
+            sgdet_per_sec / REFERENCE_SGDET_EVAL_IMAGES_PER_SEC, 2)
+    print(json.dumps(line))
+
+
+def _bench_sgdet_eval(B: int = 8):
+    """img/s of the jitted sgdet eval step (detector at thresh 0.2 + all
+    N*(N-1) detection-pair relation classification) on synthetic batches."""
+    import jax.numpy as jnp
+
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models import RelModelIMP
+    from sgg_tpu.models.detector import FasterRCNNVGG
+    from sgg_tpu.models.sgdet import make_sgdet_eval_step
+    from sgg_tpu.train.assign import all_pairs
+
+    ds = SyntheticSGGDataset(num_images=B, num_classes=151,
+                             num_predicates=51, max_objects=20,
+                             image_size=IMG, with_images=True, seed=0)
+    gb = jax.device_put(ds.batch(list(range(B)), max_nodes=MAX_NODES,
+                                 max_edges=MAX_EDGES))
+    det = FasterRCNNVGG(num_classes=151, dtype=jnp.bfloat16)
+    det_vars = jax.jit(lambda k, im, hw: det.init(k, im, hw, train=False))(
+        jax.random.key(0), gb.images, gb.im_hw)
+    dout = jax.jit(lambda v, im, hw: det.apply(v, im, hw, train=False))(
+        det_vars, gb.images, gb.im_hw)
+    rel = RelModelIMP(num_classes=151, num_predicates=51, mode="sgdet",
+                      dtype=jnp.bfloat16)
+    pairs, pm = all_pairs(dout["mask"])
+    rel_vars = jax.jit(lambda k: rel.init(
+        k, None, dout["boxes"], dout["labels"], pairs, pm,
+        fmap=dout["fmap"], train=False))(jax.random.key(0))
+    step = make_sgdet_eval_step(det, rel, score_thresh=0.2)
+    out = step((det_vars, rel_vars), gb)
+    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        out = step((det_vars, rel_vars), gb)
+    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
+    return B * iters / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

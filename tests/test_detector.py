@@ -162,3 +162,41 @@ def test_generate_proposals_clip_and_shapes():
     assert (p >= 0).all() and (p <= 50).all()
     s = np.asarray(scores)[np.asarray(mask)]
     assert (np.diff(s) <= 1e-6).all()  # score-ordered
+
+
+def test_postprocess_nms_candidate_cap():
+    """The top-M candidate cap keeps the best-scored detections and is
+    exact when fewer than M candidates clear score_thresh (the fixed-shape
+    stand-in for torchvision's data-dependent score gather)."""
+    from sgg_tpu.models.detector import postprocess_detections
+
+    rng = np.random.RandomState(7)
+    B, P, C = 1, 12, 6
+    logits = jnp.asarray(rng.randn(B, P, C).astype(np.float32) * 3)
+    deltas = jnp.zeros((B, P, C * 4), jnp.float32)
+    props = jnp.asarray(rng.rand(B, P, 4).astype(np.float32) * 200)
+    props = props.at[..., 2:].set(props[..., :2] + 40 +
+                                  jnp.arange(P, dtype=jnp.float32)[None, :,
+                                                                   None])
+    pm = jnp.ones((B, P), bool)
+    hw = jnp.full((B, 2), 300.0)
+
+    kw = dict(score_thresh=0.05, nms_thresh=0.5, detections_per_img=8)
+    full = postprocess_detections(logits, deltas, props, pm, hw,
+                                  nms_candidates=P * (C - 1), **kw)
+    capped = postprocess_detections(logits, deltas, props, pm, hw,
+                                    nms_candidates=16, **kw)
+
+    # with a cap >= the number of above-threshold candidates the two runs
+    # must agree wherever the capped run kept a detection, and the capped
+    # run's kept scores are the top of the full run's kept scores
+    fm, cm = np.asarray(full["mask"][0]), np.asarray(capped["mask"][0])
+    fs = np.asarray(full["scores"][0])[fm]
+    cs = np.asarray(capped["scores"][0])[cm]
+    assert cm.sum() <= fm.sum()
+    np.testing.assert_allclose(cs, fs[: cm.sum()], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(capped["boxes"][0])[cm],
+        np.asarray(full["boxes"][0])[fm][: cm.sum()], rtol=1e-5)
+    assert (np.asarray(capped["labels"][0])[cm]
+            == np.asarray(full["labels"][0])[fm][: cm.sum()]).all()

@@ -76,13 +76,17 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
     """Jitted sgdet training step: frozen detector → rel_assignments →
     relation-head losses → SGD update of the relation head.
 
-    ``det_variables`` are closed over (frozen, main.py:62-63).
+    ``det_variables`` stay frozen (main.py:62-63) but are passed to the
+    jitted program as a runtime argument, NOT captured by the closure — a
+    closed-over pytree is baked into the HLO as constants, and ~0.5 GB of
+    VGG16 weights as inline constants overflows the compiler (observed:
+    remote_compile HTTP 413 on the tunneled toolchain).
     """
     loss_weights = (config.alpha, config.beta, config.gamma)
 
-    def train_step(state: TrainState, batch: GraphBatch, key):
+    def train_step(state: TrainState, batch: GraphBatch, key, det_vars):
         k_rel, k_drop = jax.random.split(key)
-        det = detector.apply(det_variables, batch.images, batch.im_hw,
+        det = detector.apply(det_vars, batch.images, batch.im_hw,
                              train=False)
         det = jax.lax.stop_gradient(det)
         boxes, labels, mask = det["boxes"], det["labels"], det["mask"]
@@ -124,7 +128,13 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
         metrics["total"] = total
         return state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    det_variables = jax.device_put(det_variables)
+
+    def step(state: TrainState, batch: GraphBatch, key):
+        return jitted(state, batch, key, det_variables)
+
+    return step
 
 
 def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,

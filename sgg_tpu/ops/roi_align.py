@@ -13,10 +13,30 @@ whole op per ROI is two small dense matmuls::
     out[p, q, c] = Wy[p, :] @ fmap[:, :, c] @ Wx[q, :]^T
 
 with ``Wy: (P, H)``, ``Wx: (P, W)`` interpolation-weight matrices (≤ 2·ratio
-nonzeros per row). Batched over per-image ROI blocks this becomes two einsums
-that XLA maps straight onto the MXU — no scalar gathers, no dynamic shapes.
-ROIs are processed in fixed-size chunks to bound the intermediate
-``(chunk, P, W, C)`` buffer.
+nonzeros per row).
+
+Two MXU mappings of that algebra are provided (both exact):
+
+* ``method="separable"`` (default): the two-einsum scheme above. The
+  second einsum is an M=7 sublane-starved batched matmul, but everything
+  it touches stays in natural layouts.
+* ``method="outer"``: fold both interpolations into one combined per-ROI
+  weight matrix ``W2[(p,q), (y,x)] = Wy[p,y]·Wx[q,x]`` and evaluate the
+  whole op as ONE large MXU-dense matmul per image chunk,
+  ``(chunk·P², H·W) @ (H·W, C)``.
+
+On-device determination (measured, v5e via the remote toolchain, bf16
+24×37×37×512 fmaps): **separable wins** — unions (R=256) 8.0 ms vs outer
+16.1 ms; nodes (R=40) 3.1 ms vs 4.9 ms. The outer method's matmul is
+MXU-shaped (M=chunk·49, K=1369), but materializing ``W2`` requires merging
+``(P,P,H,W) → (P², H·W)`` — a physical relayout of a tile-padded 6-D
+array, and this backend's layout shuffles run at ~15 GB/s (same finding as
+``ops/stem_conv.py``), which more than erases the MXU gain. ``outer``
+stays available for toolchains with fast relayouts.
+
+ROIs are processed in fixed-size chunks to bound the intermediates
+(``(chunk, P, W, C)`` for separable, ``(chunk·P², H·W)`` for outer). No
+scalar gathers, no dynamic shapes.
 """
 
 from __future__ import annotations
@@ -68,10 +88,11 @@ def _interp_weights(start: jnp.ndarray, extent: jnp.ndarray, dim: int,
     return W
 
 
-@functools.partial(jax.jit, static_argnames=("pooled", "ratio", "roi_chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("pooled", "ratio", "roi_chunk", "method"))
 def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, *,
               spatial_scale: float, pooled: int = 7, ratio: int = 2,
-              roi_chunk: int = 64) -> jnp.ndarray:
+              roi_chunk: int = 64, method: str = "separable") -> jnp.ndarray:
     """Batched RoIAlign.
 
     Args:
@@ -81,6 +102,9 @@ def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, *,
       pooled: output size P (7 in the reference, rel_model_base.py:50).
       ratio: sampling_ratio (2 in the reference, rel_model_base.py:99).
       roi_chunk: ROIs processed per chunk (memory/throughput knob).
+      method: ``"separable"`` (two-einsum scheme, default — wins on this
+        backend) or ``"outer"`` (one combined matmul); see module
+        docstring for the measured determination.
 
     Returns:
       (B, R, P, P, C) pooled features, dtype = fmap.dtype.
@@ -97,26 +121,43 @@ def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, *,
     Wx = _interp_weights(x1, roi_w, W, pooled, ratio)  # (B, R, P, W)
 
     dtype = fmap.dtype
-    Wy = Wy.astype(dtype)
-    Wx = Wx.astype(dtype)
+    P = pooled
 
     n_chunks = -(-R // roi_chunk)
     pad = n_chunks * roi_chunk - R
     if pad:
         Wy = jnp.pad(Wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
         Wx = jnp.pad(Wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    Wy = Wy.reshape(B, n_chunks, roi_chunk, pooled, H).transpose(1, 0, 2, 3, 4)
-    Wx = Wx.reshape(B, n_chunks, roi_chunk, pooled, W).transpose(1, 0, 2, 3, 4)
+    Wy = Wy.reshape(B, n_chunks, roi_chunk, P, H).transpose(1, 0, 2, 3, 4)
+    Wx = Wx.reshape(B, n_chunks, roi_chunk, P, W).transpose(1, 0, 2, 3, 4)
 
-    def chunk_fn(w):
-        wy, wx = w  # (B, chunk, P, H), (B, chunk, P, W)
-        # rows: (B, chunk, P, H) @ (B, H, W, C) -> (B, chunk, P, W, C)
-        t = jnp.einsum("brph,bhwc->brpwc", wy, fmap,
-                       preferred_element_type=jnp.float32).astype(dtype)
-        # cols: (B, chunk, P, W) @ (B, chunk, P, W, C) -> (B, chunk, P, P, C)
-        out = jnp.einsum("brqw,brpwc->brpqc", wx, t,
-                         preferred_element_type=jnp.float32)
-        return out.astype(dtype)
+    if method == "outer":
+        fm = fmap.reshape(B, H * W, C)
+
+        def chunk_fn(w):
+            wy, wx = w  # (B, chunk, P, H), (B, chunk, P, W)  float32
+            # combined weights: W2[(p,q),(y,x)] = Wy[p,y] * Wx[q,x];
+            # the f32 outer product fuses into the bf16 cast (one rounding).
+            w2 = (wy[:, :, :, None, :, None]
+                  * wx[:, :, None, :, None, :])   # (B, r, P, P, H, W)
+            w2 = w2.reshape(B, roi_chunk * P * P, H * W).astype(dtype)
+            out = jnp.einsum("bkl,blc->bkc", w2, fm,
+                             preferred_element_type=jnp.float32)
+            return out.astype(dtype).reshape(B, roi_chunk, P, P, C)
+    else:
+        Wy = Wy.astype(dtype)
+        Wx = Wx.astype(dtype)
+
+        def chunk_fn(w):
+            wy, wx = w  # (B, chunk, P, H), (B, chunk, P, W)
+            # rows: (B, chunk, P, H) @ (B, H, W, C) -> (B, chunk, P, W, C)
+            t = jnp.einsum("brph,bhwc->brpwc", wy, fmap,
+                           preferred_element_type=jnp.float32).astype(dtype)
+            # cols: (B, chunk, P, W) @ (B, chunk, P, W, C)
+            #       -> (B, chunk, P, P, C)
+            out = jnp.einsum("brqw,brpwc->brpqc", wx, t,
+                             preferred_element_type=jnp.float32)
+            return out.astype(dtype)
 
     out = lax.map(chunk_fn, (Wy, Wx))  # (n_chunks, B, chunk, P, P, C)
     out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, n_chunks * roi_chunk,

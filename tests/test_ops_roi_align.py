@@ -67,6 +67,21 @@ def test_matches_torchvision_oracle():
         np.testing.assert_allclose(got[b], want, atol=1e-4)
 
 
+def test_outer_method_matches_separable():
+    rng = np.random.RandomState(4)
+    B, H, W, C = 2, 19, 23, 5
+    fmap = rng.randn(B, H, W, C).astype(np.float32)
+    rois = rng.rand(B, 9, 4).astype(np.float32) * 250
+    rois[..., 2:] = rois[..., :2] + rng.rand(B, 9, 2).astype(np.float32) * 120 + 4
+    a = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois),
+                             spatial_scale=1 / 16.0, roi_chunk=4,
+                             method="outer"))
+    b = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois),
+                             spatial_scale=1 / 16.0, roi_chunk=4,
+                             method="separable"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_out_of_bounds_and_tiny_rois():
     rng = np.random.RandomState(1)
     fmap = rng.randn(1, 10, 10, 3).astype(np.float32)

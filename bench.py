@@ -157,14 +157,17 @@ def main():
 
 
 def _bench_sgdet_eval(B: int = 8):
-    """img/s of the jitted sgdet eval step (detector at thresh 0.2 + all
-    N*(N-1) detection-pair relation classification) on synthetic batches."""
+    """img/s of the jitted single-pass sgdet retry eval step (detector at
+    the full 0.2->0.05->0.01 per-image threshold protocol + overlap-
+    constrained detection-pair relation classification compacted to the
+    production pair budget) on synthetic batches."""
     import jax.numpy as jnp
 
     from sgg_tpu.data import SyntheticSGGDataset
     from sgg_tpu.models import RelModelIMP
     from sgg_tpu.models.detector import FasterRCNNVGG
-    from sgg_tpu.models.sgdet import make_sgdet_eval_step
+    from sgg_tpu.models.sgdet import (SGDET_EVAL_MAX_PAIRS,
+                                      make_sgdet_retry_eval_step)
     from sgg_tpu.train.assign import all_pairs
 
     ds = SyntheticSGGDataset(num_images=B, num_classes=151,
@@ -183,7 +186,8 @@ def _bench_sgdet_eval(B: int = 8):
     rel_vars = jax.jit(lambda k: rel.init(
         k, None, dout["boxes"], dout["labels"], pairs, pm,
         fmap=dout["fmap"], train=False))(jax.random.key(0))
-    step = make_sgdet_eval_step(det, rel, score_thresh=0.2)
+    step = make_sgdet_retry_eval_step(det, rel,
+                                      max_pairs=SGDET_EVAL_MAX_PAIRS)
     out = step((det_vars, rel_vars), gb)
     float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
     t0 = time.perf_counter()

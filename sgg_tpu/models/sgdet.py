@@ -45,6 +45,46 @@ def detection_pairs(det_boxes, det_mask, require_overlap: bool):
     return pairs, pair_mask
 
 
+def compact_pairs(pairs, pair_mask, max_pairs: int):
+    """Gather the valid pairs into a (B, max_pairs) buffer, order-preserving.
+
+    The all-pairs enumeration over D=50 padded detections is D*(D-1)=2450
+    slots, but a real image has n*(n-1) valid (and, with require_overlap,
+    typically far fewer) — the relation head's compute is shape-bound, so
+    compacting the candidate set is a pure speedup. EXACT whenever every
+    image has <= max_pairs valid pairs; the caller must check the returned
+    per-image ``count`` and fall back to the dense shape otherwise (the
+    reference has no candidate cap, lib/eval.py:144-170).
+    """
+    count = pair_mask.sum(axis=1)
+    order = jnp.argsort(~pair_mask, axis=1, stable=True)[:, :max_pairs]
+    cpairs = jnp.take_along_axis(pairs, order[..., None], 1)
+    cmask = jnp.take_along_axis(pair_mask, order, 1)
+    return cpairs, cmask, count
+
+
+def _zero_padded(out, det_mask, pair_mask):
+    """Zero every output entry outside its validity mask.
+
+    Makes padding deterministic so a post-hoc-thresholded run is
+    byte-comparable to a re-detected run (see make_sgdet_retry_eval_step),
+    and keeps exported artifacts free of garbage rows."""
+    node_keys = ("det_boxes", "det_labels", "det_scores", "obj_logits",
+                 "obj_preds", "obj_scores")
+    pair_keys = ("rel_logits", "rel_dists", "pairs")
+    for k in node_keys:
+        if k in out:
+            v = out[k]
+            m = det_mask.reshape(det_mask.shape + (1,) * (v.ndim - 2))
+            out[k] = jnp.where(m, v, jnp.zeros((), v.dtype))
+    for k in pair_keys:
+        if k in out:
+            v = out[k]
+            m = pair_mask.reshape(pair_mask.shape + (1,) * (v.ndim - 2))
+            out[k] = jnp.where(m, v, jnp.zeros((), v.dtype))
+    return out
+
+
 def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
                          require_overlap: bool = True):
     """Jitted ``eval_step((det_vars, rel_vars), batch) -> outputs`` with
@@ -55,6 +95,8 @@ def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
         det = detector.apply(det_vars, batch.images, batch.im_hw,
                              train=False, score_thresh=score_thresh)
         boxes, labels, mask = det["boxes"], det["labels"], det["mask"]
+        boxes = jnp.where(mask[..., None], boxes, 0.0)
+        labels = jnp.where(mask, labels, 0)
         pairs, pair_mask = detection_pairs(boxes, mask, require_overlap)
         out = relmodel.apply(rel_vars, None, boxes, labels, pairs,
                              pair_mask, fmap=det["fmap"], train=False,
@@ -66,7 +108,80 @@ def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
             "rel_dists": jax.nn.softmax(out["rel_logits"], axis=-1),
             "n_det": mask.sum(axis=1),
         })
-        return out
+        return _zero_padded(out, mask, pair_mask)
+
+    return jax.jit(eval_step)
+
+
+def make_sgdet_retry_eval_step(detector, relmodel,
+                               thresholds=(0.2, 0.05, 0.01),
+                               require_overlap: bool = True,
+                               max_pairs: Optional[int] = None):
+    """ONE-pass sgdet eval with per-image post-hoc threshold selection.
+
+    The reference re-detects each image at progressively lower box-score
+    thresholds until it has >= 2 detections (lib/eval.py:125-133,227-228).
+    Re-running the detector is unnecessary here: our fixed-shape NMS emits
+    detections in descending score order (ops/nms.py), and for a greedy
+    score-ordered NMS the keep-decision of any box depends only on
+    higher-scored kept boxes — so the detections at threshold t are exactly
+    the ``score > t`` prefix of the detections at the lowest threshold.
+    (This holds under the same condition that makes the per-threshold runs
+    themselves exact: at most ``nms_candidates`` candidates clear the
+    threshold — see postprocess_detections.) One detector pass at
+    min(thresholds) therefore reproduces every per-threshold run by
+    masking, byte-identically (tests/test_sgdet.py).
+
+    Per image the FIRST threshold with >= 2 detections is selected (the
+    last one falls through regardless, as the reference's loop does), the
+    relation head runs once on the selected masks, and padded entries are
+    zeroed. With ``max_pairs`` the candidate pair set is additionally
+    compacted (see compact_pairs); callers must check the ``pair_count``
+    output for overflow and fall back to a dense-shape step — done by
+    ``sgdet_eval_with_retry``.
+
+    Outputs additionally carry ``sel_thresh`` (per-image chosen threshold)
+    and ``pair_count`` (pre-compaction valid-pair count).
+    """
+    ts = sorted(thresholds, reverse=True)
+    t_min = ts[-1]
+
+    def eval_step(variables, batch: GraphBatch):
+        det_vars, rel_vars = variables
+        det = detector.apply(det_vars, batch.images, batch.im_hw,
+                             train=False, score_thresh=t_min)
+        boxes, labels = det["boxes"], det["labels"]
+        scores, base_mask = det["scores"], det["mask"]
+
+        # per-image first threshold with >= 2 detections, else the last
+        masks_t = jnp.stack([base_mask & (scores > t) for t in ts], 1)
+        counts = masks_t.sum(axis=2)                    # (B, T)
+        ok = counts >= 2
+        sel = jnp.where(ok.any(axis=1), jnp.argmax(ok, axis=1), len(ts) - 1)
+        mask = jnp.take_along_axis(masks_t, sel[:, None, None], 1)[:, 0]
+        sel_thresh = jnp.asarray(ts, jnp.float32)[sel]
+
+        boxes = jnp.where(mask[..., None], boxes, 0.0)
+        labels = jnp.where(mask, labels, 0)
+        scores = jnp.where(mask, scores, 0.0)
+
+        pairs, pair_mask = detection_pairs(boxes, mask, require_overlap)
+        pair_count = pair_mask.sum(axis=1)
+        if max_pairs is not None and max_pairs < pairs.shape[1]:
+            pairs, pair_mask, _ = compact_pairs(pairs, pair_mask, max_pairs)
+
+        out = relmodel.apply(rel_vars, None, boxes, labels, pairs,
+                             pair_mask, fmap=det["fmap"], train=False,
+                             mode="sgdet")
+        out.update({
+            "det_boxes": boxes, "det_labels": labels,
+            "det_scores": scores, "det_mask": mask,
+            "pairs": pairs, "pair_mask": pair_mask,
+            "rel_dists": jax.nn.softmax(out["rel_logits"], axis=-1),
+            "n_det": mask.sum(axis=1),
+            "sel_thresh": sel_thresh, "pair_count": pair_count,
+        })
+        return _zero_padded(out, mask, pair_mask)
 
     return jax.jit(eval_step)
 
@@ -137,42 +252,43 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
     return step
 
 
+# default candidate-pair budget for the compacted sgdet eval step; covers
+# any image with up to ~32 mutually-overlapping detections (a real image
+# rarely has more than ~30 detections at all), with an exact dense
+# fallback when exceeded.
+SGDET_EVAL_MAX_PAIRS = 1024
+
+
 def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
                           thresholds=(0.2, 0.05, 0.01),
                           require_overlap: bool = True,
-                          _cache: Optional[dict] = None):
+                          _cache: Optional[dict] = None,
+                          max_pairs: Optional[int] = SGDET_EVAL_MAX_PAIRS):
     """Per-image box-threshold retry (reference lib/eval.py:125-133,227-228).
 
-    The reference evaluates at batch size 1 and re-detects a single image at
-    progressively lower score thresholds (0.2 -> 0.05 -> 0.01) until it has
-    >= 2 detections. Over a padded batch, every image keeps the outputs of
-    the FIRST threshold that yields >= 2 detections for *that image* —
-    images already satisfied at a higher threshold are never overwritten, so
-    their detections are identical to a no-retry run. Lower thresholds only
-    execute while some image still needs them."""
+    The reference evaluates at batch size 1 and re-detects a single image
+    at progressively lower score thresholds (0.2 -> 0.05 -> 0.01) until it
+    has >= 2 detections; per image the first satisfying threshold's
+    detections are kept. Implemented as ONE jitted pass (see
+    make_sgdet_retry_eval_step for the equivalence argument) with a
+    compacted candidate-pair set; batches where some image exceeds
+    ``max_pairs`` valid pairs re-run through the dense-shape step, so the
+    result is always exact."""
     import numpy as np
 
     cache = _cache if _cache is not None else {}
-    chosen = None
-    satisfied = None
-    for t in thresholds:
-        if t not in cache:
-            cache[t] = make_sgdet_eval_step(detector, relmodel,
-                                            score_thresh=t,
-                                            require_overlap=require_overlap)
-        out = cache[t](variables, batch)
-        n_det = np.asarray(out["n_det"])
-        if chosen is None:
-            chosen = {k: np.asarray(v).copy() for k, v in out.items()}
-            satisfied = n_det >= 2
-        else:
-            # only images still unsatisfied take this threshold's outputs
-            # (the last threshold's outputs stick even when < 2 dets,
-            # matching the reference's loop falling through)
-            upd = ~satisfied
-            for k, v in chosen.items():
-                v[upd] = np.asarray(out[k])[upd]
-            satisfied = satisfied | (n_det >= 2)
-        if bool(satisfied.all()):
-            break
-    return chosen
+    key = ("retry", tuple(thresholds), require_overlap, max_pairs)
+    if key not in cache:
+        cache[key] = make_sgdet_retry_eval_step(
+            detector, relmodel, thresholds=thresholds,
+            require_overlap=require_overlap, max_pairs=max_pairs)
+    out = cache[key](variables, batch)
+    if (max_pairs is not None
+            and int(np.max(np.asarray(out["pair_count"]))) > max_pairs):
+        dense = ("retry", tuple(thresholds), require_overlap, None)
+        if dense not in cache:
+            cache[dense] = make_sgdet_retry_eval_step(
+                detector, relmodel, thresholds=thresholds,
+                require_overlap=require_overlap, max_pairs=None)
+        out = cache[dense](variables, batch)
+    return {k: np.asarray(v) for k, v in out.items()}

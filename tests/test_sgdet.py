@@ -7,6 +7,7 @@ from sgg_tpu.data import SyntheticSGGDataset
 from sgg_tpu.models.detector import FasterRCNNVGG
 from sgg_tpu.models.relhead import RelModelIMP
 from sgg_tpu.models.sgdet import (make_sgdet_eval_step,
+                                  make_sgdet_retry_eval_step,
                                   make_sgdet_train_step,
                                   sgdet_eval_with_retry)
 from sgg_tpu.train.rel_assign import rel_assignments
@@ -148,9 +149,10 @@ def test_sgdet_retry_loop():
 def test_sgdet_retry_is_per_image():
     """Reference semantics (lib/eval.py:125-133): retry at a lower threshold
     only changes the images that had < 2 detections — an easy image's
-    outputs are byte-identical to its high-threshold run."""
+    outputs are byte-identical to a run re-detected at the high threshold.
+    The single-pass retry step must reproduce the per-threshold re-detected
+    steps exactly (the post-hoc-masking equivalence it is built on)."""
     config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
-    cache = {}
     base = make_sgdet_eval_step(detector, relmodel, score_thresh=0.0)
     scores = np.sort(np.asarray(base((det_vars, rel_vars), gb)["det_scores"]),
                      axis=1)[:, ::-1]
@@ -162,12 +164,56 @@ def test_sgdet_retry_is_per_image():
     t_hi = float((s2[easy] + s2[hard]) / 2)
 
     out = sgdet_eval_with_retry(detector, relmodel, (det_vars, rel_vars), gb,
-                                thresholds=(t_hi, 0.0), _cache=cache)
-    hi = {k: np.asarray(v) for k, v in
-          cache[t_hi]((det_vars, rel_vars), gb).items()}
-    lo = {k: np.asarray(v) for k, v in
-          cache[0.0]((det_vars, rel_vars), gb).items()}
+                                thresholds=(t_hi, 0.0), max_pairs=None)
+    hi = {k: np.asarray(v) for k, v in make_sgdet_eval_step(
+        detector, relmodel, score_thresh=t_hi)(
+            (det_vars, rel_vars), gb).items()}
+    lo = {k: np.asarray(v) for k, v in make_sgdet_eval_step(
+        detector, relmodel, score_thresh=0.0)(
+            (det_vars, rel_vars), gb).items()}
     assert int(hi["n_det"][easy]) >= 2 and int(hi["n_det"][hard]) < 2
-    for k in out:
+    want_thresh = [0.0, 0.0]
+    want_thresh[easy] = t_hi
+    np.testing.assert_allclose(out["sel_thresh"], want_thresh, rtol=1e-6)
+    for k in hi:
         np.testing.assert_array_equal(out[k][easy], hi[k][easy], err_msg=k)
         np.testing.assert_array_equal(out[k][hard], lo[k][hard], err_msg=k)
+
+
+def test_sgdet_pair_compaction_exact():
+    """Compacted candidate pairs give the same valid (pair, score) sequence
+    as the dense enumeration (order-preserving gather), and the wrapper
+    falls back to dense when the budget overflows."""
+    config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
+    dense_step = make_sgdet_retry_eval_step(detector, relmodel,
+                                            thresholds=(0.2, 0.0),
+                                            max_pairs=None)
+    dense = {k: np.asarray(v) for k, v in
+             dense_step((det_vars, rel_vars), gb).items()}
+    budget = int(dense["pair_count"].max())
+    assert budget >= 2
+    compact_step = make_sgdet_retry_eval_step(detector, relmodel,
+                                              thresholds=(0.2, 0.0),
+                                              max_pairs=budget)
+    comp = {k: np.asarray(v) for k, v in
+            compact_step((det_vars, rel_vars), gb).items()}
+    assert comp["pairs"].shape[1] == budget
+    for i in range(gb.batch_size):
+        dv = dense["pair_mask"][i]
+        cv = comp["pair_mask"][i]
+        np.testing.assert_array_equal(comp["pairs"][i][cv],
+                                      dense["pairs"][i][dv])
+        # same per-pair predicate scores (edge order inside the head
+        # changes summation order -> allclose, not bitwise)
+        np.testing.assert_allclose(comp["rel_dists"][i][cv],
+                                   dense["rel_dists"][i][dv],
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(comp["obj_scores"][i],
+                                   dense["obj_scores"][i],
+                                   atol=1e-5, rtol=1e-4)
+
+    # wrapper: a tiny budget must fall back to the exact dense result
+    out = sgdet_eval_with_retry(detector, relmodel, (det_vars, rel_vars),
+                                gb, thresholds=(0.2, 0.0), max_pairs=2)
+    assert out["pairs"].shape[1] == dense["pairs"].shape[1]
+    np.testing.assert_array_equal(out["pair_mask"], dense["pair_mask"])

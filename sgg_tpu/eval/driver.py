@@ -58,7 +58,8 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
               n_batches: int = -1, eval_batch_size: int = 8,
               with_images: bool = True, collect_entries: bool = False,
               detector=None, det_variables=None,
-              log_fn=None, verbose: bool = True) -> Dict[str, float]:
+              log_fn=None, verbose: bool = True,
+              pair_ladder=None) -> Dict[str, float]:
     """Evaluate one split of ``model`` (a RelModelIMP-compatible module).
 
     Returns a flat results dict ``{eval_m}/{name}_R@K_{GC|NOGC}`` etc.
@@ -106,11 +107,26 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
     entries = []
     n_evaluated = 0
     sgdet_cache: Dict = {}
+    # Pair-budget ladder: the bucket is sized to the split's LARGEST graph,
+    # so the dense N*(N-1) enumeration wastes most of its compute on masked
+    # pairs for typical images. Per batch, pick the smallest compiled
+    # budget that covers max_i n_i*(n_i-1) — exact by construction
+    # (compact_pairs is an order-preserving gather of the valid pairs).
+    full_pairs = eval_nodes * (eval_nodes - 1)
+    if pair_ladder is None:
+        pair_ladder = [b for b in (128, 512, 2048) if b < full_pairs] + [None]
+    step_cache: Dict = {}
+
+    def get_eval_step(m, budget):
+        key = (m, budget)
+        if key not in step_cache:
+            step_cache[key] = make_eval_step(model, mode=m,
+                                             max_pairs=budget)
+        return step_cache[key]
+
     for m in eval_modes:
         if m not in evaluators:
             continue
-        if m != "sgdet":
-            eval_step = make_eval_step(model, mode=m)
         loader = BatchLoader(dataset, batch_size=eval_batch_size,
                              max_nodes=eval_nodes,
                              max_edges=config.max_edges, shuffle=False,
@@ -127,7 +143,11 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 node_mask = np.asarray(out["det_mask"])
                 boxes = np.asarray(out["det_boxes"])
             else:
-                out = eval_step(variables, batch)
+                n_i = np.asarray(batch.node_mask).sum(axis=1)
+                need = int((n_i * (n_i - 1)).max()) if len(n_i) else 0
+                budget = next(b for b in pair_ladder
+                              if b is None or b >= need)
+                out = get_eval_step(m, budget)(variables, batch)
                 node_mask = np.asarray(batch.node_mask)
                 boxes = np.asarray(batch.boxes)
             obj_scores = np.asarray(out["obj_scores"], np.float32)

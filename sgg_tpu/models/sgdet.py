@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from sgg_tpu.config import Config
 from sgg_tpu.data.graph_batch import GraphBatch
 from sgg_tpu.ops.boxes import box_iou
-from sgg_tpu.train.assign import all_pairs
+from sgg_tpu.train.assign import all_pairs, compact_pairs
 from sgg_tpu.train.losses import edge_losses, node_losses
 from sgg_tpu.train.rel_assign import rel_assignments
 from sgg_tpu.train.state import TrainState
@@ -45,22 +45,6 @@ def detection_pairs(det_boxes, det_mask, require_overlap: bool):
     return pairs, pair_mask
 
 
-def compact_pairs(pairs, pair_mask, max_pairs: int):
-    """Gather the valid pairs into a (B, max_pairs) buffer, order-preserving.
-
-    The all-pairs enumeration over D=50 padded detections is D*(D-1)=2450
-    slots, but a real image has n*(n-1) valid (and, with require_overlap,
-    typically far fewer) — the relation head's compute is shape-bound, so
-    compacting the candidate set is a pure speedup. EXACT whenever every
-    image has <= max_pairs valid pairs; the caller must check the returned
-    per-image ``count`` and fall back to the dense shape otherwise (the
-    reference has no candidate cap, lib/eval.py:144-170).
-    """
-    count = pair_mask.sum(axis=1)
-    order = jnp.argsort(~pair_mask, axis=1, stable=True)[:, :max_pairs]
-    cpairs = jnp.take_along_axis(pairs, order[..., None], 1)
-    cmask = jnp.take_along_axis(pair_mask, order, 1)
-    return cpairs, cmask, count
 
 
 def _zero_padded(out, det_mask, pair_mask):

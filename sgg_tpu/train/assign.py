@@ -125,3 +125,21 @@ def all_pairs(node_mask: jnp.ndarray):
     pairs = jnp.broadcast_to(pairs[None], (B, N * (N - 1), 2))
     mask = node_mask[:, subj] & node_mask[:, obj]
     return pairs, mask
+
+
+def compact_pairs(pairs, pair_mask, max_pairs: int):
+    """Gather the valid pairs into a (B, max_pairs) buffer, order-preserving.
+
+    Candidate-pair enumerations are padded to N*(N-1) slots but a real
+    image has n*(n-1) valid pairs (n = its objects/detections) — far fewer
+    than the bucket's N. Downstream compute is shape-bound, so compacting
+    is a pure speedup. EXACT whenever every image has <= max_pairs valid
+    pairs; callers either guarantee that from host-side counts
+    (eval/driver.py bucket ladder) or check the returned per-image
+    ``count`` and fall back to the dense shape (models/sgdet.py).
+    """
+    count = pair_mask.sum(axis=1)
+    order = jnp.argsort(~pair_mask, axis=1, stable=True)[:, :max_pairs]
+    cpairs = jnp.take_along_axis(pairs, order[..., None], 1)
+    cmask = jnp.take_along_axis(pair_mask, order, 1)
+    return cpairs, cmask, count

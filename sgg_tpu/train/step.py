@@ -73,17 +73,27 @@ def make_train_step(model, config: Config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, mode: str = None):
+def make_eval_step(model, mode: str = None, max_pairs: int = None):
     """Returns jitted ``eval_step(variables, batch) -> outputs``.
 
     Enumerates all ordered pairs (reference rel_model_base.py:148-163) and
     runs the forward in inference mode; downstream host code feeds
     ``filter_dets`` + the evaluator. ``mode`` overrides the model's regime
     per eval pass (reference lib/eval.py:56 ``set_mode``).
+
+    ``max_pairs`` compacts the candidate set to that budget with an
+    order-preserving gather (``compact_pairs``): the eval bucket is sized
+    to the split's LARGEST graph (driver.py), so the padded N*(N-1)
+    enumeration computes mostly masked pairs for typical images. Exact
+    iff every image in the batch has <= max_pairs valid pairs — the
+    driver guarantees this from host-side node counts.
     """
+    from sgg_tpu.train.assign import compact_pairs
 
     def eval_step(variables, batch: GraphBatch):
         pairs, pair_mask = all_pairs(batch.node_mask)
+        if max_pairs is not None and max_pairs < pairs.shape[1]:
+            pairs, pair_mask, _ = compact_pairs(pairs, pair_mask, max_pairs)
         out = model.apply(variables, batch.images, batch.boxes, batch.classes,
                           pairs, pair_mask, im_hw=batch.im_hw, train=False,
                           mode=mode)

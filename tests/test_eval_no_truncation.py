@@ -70,6 +70,42 @@ def test_large_graphs_not_truncated():
         k.startswith("predcls/") and "R@100" in k for k in res_small)
 
 
+def test_pair_ladder_matches_dense():
+    """The compacted pair-budget ladder gives metrics identical to the
+    dense N*(N-1) enumeration (compact_pairs is an exact order-preserving
+    gather; the driver picks a budget covering every image's valid pairs)."""
+    ds = _to_sggdataset(
+        SyntheticSGGDataset(num_images=4, num_classes=N_CLS,
+                            num_predicates=N_PRED, min_objects=4,
+                            max_objects=12, max_rels=10, image_size=64,
+                            seed=5), "test")
+    model = RelModelIMP(num_classes=N_CLS, num_predicates=N_PRED,
+                        mode="sgcls", hidden_dim=16, obj_dim=32,
+                        dtype=jnp.float32)
+    gb = next(iter(BatchLoader(ds, batch_size=2, max_nodes=48, max_edges=16,
+                               with_images=False, shuffle=False,
+                               im_scale=64)))
+    from sgg_tpu.train.assign import sample_edges
+    sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                               gb.node_mask, max_out=16)
+    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
+                           gb.classes, sampled[..., :2], pm, train=False)
+    cfg = Config(batch_size=2, max_nodes=48, max_edges=16, mode="sgcls",
+                 compute_dtype="float32")
+    # bucket 48 -> 2256 padded pairs; 12-object images need <= 132 -> the
+    # 512 ladder rung actually compacts here
+    res_ladder = val_epoch(model, variables, ds, cfg, "test",
+                           eval_batch_size=2, with_images=False,
+                           verbose=False)
+    res_dense = val_epoch(model, variables, ds, cfg, "test",
+                          eval_batch_size=2, with_images=False,
+                          verbose=False, pair_ladder=[None])
+    assert res_ladder.keys() == res_dense.keys()
+    for k in res_ladder:
+        np.testing.assert_allclose(res_ladder[k], res_dense[k], atol=1e-6,
+                                   err_msg=k)
+
+
 def test_broken_producer_raises():
     """A producer-thread failure surfaces in the consumer instead of
     silently ending the epoch (regression: AttributeError made val_epoch

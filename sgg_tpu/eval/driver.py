@@ -67,6 +67,12 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
     with ``set_mode`` per regime, eval.py:56). For sgdet, pass the detector
     module + its frozen variables; the box-threshold retry loop of
     ``eval.py:125-133`` applies.
+
+    ``pair_ladder``: candidate-pair budgets to compile (ascending,
+    ``None`` = dense N*(N-1)); default ``[128, 512, 2048, None]``. Per
+    batch the smallest rung covering every image's valid pairs is used
+    (exact — see ``compact_pairs``); batches no rung covers run dense.
+    Pass ``[None]`` to disable compaction.
     """
     from sgg_tpu.train.step import make_eval_step
 
@@ -145,8 +151,10 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
             else:
                 n_i = np.asarray(batch.node_mask).sum(axis=1)
                 need = int((n_i * (n_i - 1)).max()) if len(n_i) else 0
-                budget = next(b for b in pair_ladder
-                              if b is None or b >= need)
+                # dense (None) fallback when a caller-supplied ladder has
+                # no rung covering this batch — exactness over speed
+                budget = next((b for b in pair_ladder
+                               if b is None or b >= need), None)
                 out = get_eval_step(m, budget)(variables, batch)
                 node_mask = np.asarray(batch.node_mask)
                 boxes = np.asarray(batch.boxes)

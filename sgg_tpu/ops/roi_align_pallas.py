@@ -184,7 +184,13 @@ def _fwd(fmap, boxes, spatial_scale, pooled, ratio, chunk, interpret):
     out = _pallas_forward(fmap, boxes, spatial_scale=spatial_scale,
                           pooled=pooled, ratio=ratio, chunk=chunk,
                           interpret=interpret)
-    return out, (boxes, fmap.shape, jnp.dtype(fmap.dtype))
+    # Residuals must be a pytree of JAX values; the backward needs the
+    # static H/W/dtype of fmap, so carry them as the shape/dtype METADATA
+    # of a tiny zero array (a dtype object or raw shape ints in the
+    # residual tuple would be rejected / traced at the custom_vjp
+    # boundary).
+    shape_token = jnp.zeros(fmap.shape[1:3], fmap.dtype)
+    return out, (boxes, shape_token)
 
 
 def _bwd(spatial_scale, pooled, ratio, chunk, interpret, res, g):
@@ -195,8 +201,9 @@ def _bwd(spatial_scale, pooled, ratio, chunk, interpret, res, g):
     """
     from sgg_tpu.ops.roi_align import _interp_weights
 
-    boxes, fshape, fdtype = res
-    B, H, W, C = fshape
+    boxes, shape_token = res
+    H, W = shape_token.shape
+    fdtype = shape_token.dtype
     sb = boxes.astype(jnp.float32) * spatial_scale
     x1, y1 = sb[..., 0], sb[..., 1]
     rw = jnp.maximum(sb[..., 2] - x1, 1.0)

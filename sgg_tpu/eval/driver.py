@@ -59,7 +59,7 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
               with_images: bool = True, collect_entries: bool = False,
               detector=None, det_variables=None,
               log_fn=None, verbose: bool = True,
-              pair_ladder=None) -> Dict[str, float]:
+              pair_ladder=None, mesh=None) -> Dict[str, float]:
     """Evaluate one split of ``model`` (a RelModelIMP-compatible module).
 
     Returns a flat results dict ``{eval_m}/{name}_R@K_{GC|NOGC}`` etc.
@@ -73,6 +73,13 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
     batch the smallest rung covering every image's valid pairs is used
     (exact — see ``compact_pairs``); batches no rung covers run dense.
     Pass ``[None]`` to disable compaction.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to data-parallelize eval over —
+    variables are replicated and each batch's leading axis sharded (the
+    forward has no cross-image coupling, so XLA runs it embarrassingly
+    parallel; no collectives). Batches whose size doesn't divide the mesh
+    run unsharded. Metrics are identical either way (the numpy evaluator
+    consumes gathered outputs).
     """
     from sgg_tpu.train.step import make_eval_step
 
@@ -123,6 +130,12 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         pair_ladder = [b for b in (128, 512, 2048) if b < full_pairs] + [None]
     step_cache: Dict = {}
 
+    if mesh is not None:
+        from sgg_tpu.parallel.mesh import replicate, shard_batch
+        variables = replicate(variables, mesh)
+        if det_variables is not None:
+            det_variables = replicate(det_variables, mesh)
+
     def get_eval_step(m, budget):
         key = (m, budget)
         if key not in step_cache:
@@ -141,6 +154,9 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         for b_i, batch in enumerate(loader):
             if n_batches > -1 and b_i >= n_batches:
                 break
+            if mesh is not None and batch.batch_size % mesh.size == 0:
+                from sgg_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(batch, mesh)
             if m == "sgdet":
                 from sgg_tpu.models.sgdet import sgdet_eval_with_retry
                 out = sgdet_eval_with_retry(

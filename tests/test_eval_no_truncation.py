@@ -106,6 +106,43 @@ def test_pair_ladder_matches_dense():
                                    err_msg=k)
 
 
+def test_sharded_eval_matches_single_device():
+    """val_epoch over an 8-device DP mesh gives metrics identical to the
+    single-device run (forward has no cross-image coupling; variables
+    replicated, batches sharded on the leading axis)."""
+    from sgg_tpu.parallel import make_mesh
+
+    ds = _to_sggdataset(
+        SyntheticSGGDataset(num_images=16, num_classes=N_CLS,
+                            num_predicates=N_PRED, min_objects=4,
+                            max_objects=10, max_rels=8, image_size=64,
+                            seed=7), "test")
+    model = RelModelIMP(num_classes=N_CLS, num_predicates=N_PRED,
+                        mode="sgcls", hidden_dim=16, obj_dim=32,
+                        dtype=jnp.float32)
+    gb = next(iter(BatchLoader(ds, batch_size=8, max_nodes=16, max_edges=16,
+                               with_images=False, shuffle=False,
+                               im_scale=64)))
+    from sgg_tpu.train.assign import sample_edges
+    sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                               gb.node_mask, max_out=16)
+    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
+                           gb.classes, sampled[..., :2], pm, train=False)
+    cfg = Config(batch_size=8, max_nodes=16, max_edges=16, mode="sgcls",
+                 compute_dtype="float32")
+    mesh = make_mesh(8)
+    res_sharded = val_epoch(model, variables, ds, cfg, "test",
+                            eval_batch_size=8, with_images=False,
+                            verbose=False, mesh=mesh)
+    res_single = val_epoch(model, variables, ds, cfg, "test",
+                           eval_batch_size=8, with_images=False,
+                           verbose=False)
+    assert res_sharded.keys() == res_single.keys()
+    for k in res_sharded:
+        np.testing.assert_allclose(res_sharded[k], res_single[k], atol=1e-6,
+                                   err_msg=k)
+
+
 def test_broken_producer_raises():
     """A producer-thread failure surfaces in the consumer instead of
     silently ending the epoch (regression: AttributeError made val_epoch

@@ -140,6 +140,18 @@ def main():
     except Exception:
         pass
 
+    # ---- sgcls eval (the reference's per-epoch val / test protocol,
+    # lib/eval.py val_epoch at batch size 1): jitted all-pairs eval step
+    # with the driver's pair-budget ladder (512 rung, typical images in a
+    # 64-node no-truncation bucket).
+    # NOTE self-contained (fresh init): main's ``variables`` share buffers
+    # with ``state.params``, which the donating train step invalidates.
+    sgcls_eval_per_sec = None
+    try:
+        sgcls_eval_per_sec = _bench_sgcls_eval(model)
+    except Exception:
+        pass
+
     line = {
         "metric": "sgcls_train_images_per_sec",
         "value": round(img_per_sec, 2),
@@ -153,7 +165,38 @@ def main():
         line["sgdet_eval_images_per_sec"] = round(sgdet_per_sec, 2)
         line["sgdet_eval_vs_baseline"] = round(
             sgdet_per_sec / REFERENCE_SGDET_EVAL_IMAGES_PER_SEC, 2)
+    if sgcls_eval_per_sec is not None:
+        line["sgcls_eval_images_per_sec"] = round(sgcls_eval_per_sec, 2)
     print(json.dumps(line))
+
+
+def _bench_sgcls_eval(model, B: int = 8, eval_nodes: int = 64):
+    """img/s of the jitted sgcls eval step at the driver's 512 pair-budget
+    rung over a 64-node no-truncation bucket (typical 12-object images)."""
+    import jax.numpy as jnp
+
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.train.assign import sample_edges
+    from sgg_tpu.train.step import make_eval_step
+
+    ds = SyntheticSGGDataset(num_images=B, num_classes=151,
+                             num_predicates=51, max_objects=12,
+                             image_size=IMG, with_images=True, seed=1)
+    gb = jax.device_put(ds.batch(list(range(B)), max_nodes=eval_nodes,
+                                 max_edges=MAX_EDGES))
+    sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                               gb.node_mask, max_out=MAX_EDGES)
+    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
+                           gb.classes, sampled[..., :2], pm, train=False)
+    step = make_eval_step(model, mode="sgcls", max_pairs=512)
+    out = step(variables, gb)
+    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).ravel()[0])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        out = step(variables, gb)
+    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).ravel()[0])
+    return B * iters / (time.perf_counter() - t0)
 
 
 def _bench_sgdet_eval(B: int = 8):

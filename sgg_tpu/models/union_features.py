@@ -64,15 +64,21 @@ class UnionBoxFeats(nn.Module):
         P = self.pooling_size * 4 - 1  # 27 (get_union_boxes.py:67)
         if self.edge_model == "raw_boxes":
             assert im_hw is not None, "raw_boxes needs per-image (h, w)"
-            from sgg_tpu.ops.grid_sample import (boxes01_to_grid,
-                                                 grid_sample_2d)
+            from sgg_tpu.ops.grid_sample import paint_weights
             from sgg_tpu.ops.boxes import scale_boxes_01
             boxes = pair_boxes.reshape(*pair_boxes.shape[:-1], 2, 4)
             boxes01 = scale_boxes_01(
                 boxes.reshape(boxes.shape[0], -1, 4), im_hw)
-            grid = boxes01_to_grid(boxes01, P, P)
-            ones = jnp.ones((*boxes01.shape[:-1], P, P, 1), jnp.float32)
-            masks = grid_sample_2d(ones, grid)[..., 0]
+            # grid_sample of a CONSTANT ones image separates into per-axis
+            # coverage row-sums (same tap math, no gathers):
+            x0, y0 = boxes01[..., 0], boxes01[..., 1]
+            ww = boxes01[..., 2] - x0
+            hh = boxes01[..., 3] - y0
+            ww = jnp.where(ww != 0, ww, 1e-6)
+            hh = jnp.where(hh != 0, hh, 1e-6)
+            vy = paint_weights(y0, hh, P, P).sum(-1)   # (B, 2E, P)
+            vx = paint_weights(x0, ww, P, P).sum(-1)
+            masks = vy[..., :, None] * vx[..., None, :]
             rects = masks.reshape(*pair_boxes.shape[:-1], 2, P, P) - 0.5
         else:
             rects = draw_union_rects(pair_boxes, P) - 0.5  # (B, E, 2, P, P)

@@ -53,6 +53,28 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return out.astype(img.dtype)
 
 
+def paint_weights(start: jnp.ndarray, extent: jnp.ndarray, out_dim: int,
+                  in_dim: int) -> jnp.ndarray:
+    """(..., out_dim, in_dim) bilinear paint weights along one axis.
+
+    The affine grid of ``boxes01_to_grid`` is axis-separable, so painting a
+    (in_dim x in_dim) feature into its [0,1] box on an output canvas is
+    ``Wy @ feat @ Wx^T`` with these per-axis weight matrices — MXU matmuls
+    instead of 4-tap gathers (gathers measured ~60x slower on v5e; see
+    models/gan/layout.py). Tap math replicates ``grid_sample_2d``
+    (align_corners=False, zero padding): output position t in
+    linspace(0, 1, out_dim) samples the source at
+    ``((t - start)/extent) * in_dim - 0.5``.
+    """
+    t = jnp.linspace(0.0, 1.0, out_dim)
+    xs = ((t - start[..., None]) / extent[..., None]) * in_dim - 0.5
+    x0 = jnp.floor(xs)
+    frac = xs - x0
+    d = jnp.arange(in_dim, dtype=xs.dtype)
+    return ((1.0 - frac)[..., None] * (x0[..., None] == d)
+            + frac[..., None] * ((x0[..., None] + 1.0) == d))
+
+
 def boxes01_to_grid(boxes: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """Sampling grid that warps a unit feature into its box location.
 

@@ -80,6 +80,30 @@ def test_boxes_to_layout_masks_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
 
+def test_boxes_to_layout_matches_gather_formulation():
+    """The separable-einsum paint equals the 4-tap-gather grid_sample
+    composition it replaced (same affine grid, same tap math)."""
+    from sgg_tpu.ops.grid_sample import boxes01_to_grid, grid_sample_2d
+
+    rng = np.random.RandomState(3)
+    B, N, P, D, H = 2, 5, 7, 6, 19
+    vecs = rng.randn(B, N, P, P, D).astype(np.float32)
+    boxes = rng.rand(B, N, 4).astype(np.float32) * 0.5
+    boxes[..., 2:] = boxes[..., :2] + rng.rand(B, N, 2).astype(np.float32) * 0.5
+    boxes[0, 1] = [0.3, 0.3, 0.3, 0.9]  # degenerate width
+    mask = np.ones((B, N), bool)
+    mask[1, 3:] = False
+
+    got = np.asarray(boxes_to_layout(jnp.asarray(vecs), jnp.asarray(boxes),
+                                     jnp.asarray(mask), H, H, pooling="avg"))
+    grid = boxes01_to_grid(jnp.asarray(boxes), H, H)
+    sampled = grid_sample_2d(jnp.asarray(vecs), grid)
+    m = jnp.asarray(mask, jnp.float32)[..., None, None, None]
+    want = (sampled * m).sum(axis=1)
+    want = want / jnp.maximum(mask.sum(axis=1), 1)[:, None, None, None]
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
 def test_avg_pool_ceil_matches_torch():
     torch = pytest.importorskip("torch")
     rng = np.random.RandomState(2)

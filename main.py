@@ -37,6 +37,12 @@ def main():
                               # non-overlap filtering is an sgdet-only train
                               # filter (reference main.py:47)
                               filter_non_overlap=config.mode == "sgdet")
+    elif config.split == "synthetic":
+        # full train/eval path on generated data — no 60 GB download needed
+        # (smoke-testing / CI; vocabulary sizes match VG-Stanford)
+        from sgg_tpu.data.synthetic import synthetic_splits
+        splits = synthetic_splits(num_eval=max(config.val_size, 8)
+                                  if config.val_size else 16)
     elif config.split == "gqa":
         from sgg_tpu.data import gqa as dsmod
         splits = dsmod.splits(config.data, num_val_im=config.val_size,

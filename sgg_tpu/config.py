@@ -140,13 +140,16 @@ class Config:
         """Reference flag-combination validation (config.py:70-94)."""
         assert self.val_size >= 0, self.val_size
         assert self.mode in constants.MODES, self.mode
-        assert self.split in ("stanford", "vte", "gqa"), self.split
+        # 'synthetic' (ours): generated data for the full CLI path without
+        # the 60 GB downloads (data/synthetic.py:synthetic_splits)
+        assert self.split in ("stanford", "vte", "gqa",
+                              "synthetic"), self.split
         assert self.loss in ("baseline", "dnorm", "dnorm-fgbg"), self.loss
         assert self.backbone in ("vgg16", "resnet50"), self.backbone
         assert self.edge_model in ("motifs", "raw_boxes"), self.edge_model
         if self.split == "gqa":
             assert self.rels_per_img == 1024, "1024 rels should be used for GQA"
-        if self.split != "stanford":
+        if self.split not in ("stanford", "synthetic"):
             assert self.backbone == "resnet50", (
                 "Do not use a VG-pretrained detector on other splits since the "
                 "train set might overlap with the test set")
@@ -175,7 +178,7 @@ def setup_parser() -> ArgumentParser:
     p = ArgumentParser(description="TPU-native SGG training")
     p.add_argument("-data", dest="data", type=str, default="./data")
     p.add_argument("-split", dest="split", type=str, default="stanford",
-                   choices=["stanford", "vte", "gqa"])
+                   choices=["stanford", "vte", "gqa", "synthetic"])
     p.add_argument("-ckpt", dest="ckpt", type=str, default="")
     p.add_argument("-save_dir", dest="save_dir", type=str, default=None)
     p.add_argument("-notest", dest="notest", action="store_true")

@@ -99,3 +99,49 @@ class SyntheticSGGDataset:
             np.random.RandomState(shuffle_seed).shuffle(order)
         for s in range(0, self.num_images - batch_size + 1, batch_size):
             yield self.batch(order[s:s + batch_size], max_nodes, max_edges)
+
+
+def synthetic_splits(num_train: int = 64, num_eval: int = 16,
+                     num_classes: int = 151, num_predicates: int = 51,
+                     max_objects: int = 20, image_size: int = IM_SCALE,
+                     seed: int = 0, **_ignored):
+    """Reference-shaped splits from synthetic data (CLI ``-split synthetic``).
+
+    Lets the full ``main.py`` train/eval path run without the ~60 GB VG/GQA
+    downloads: three disjoint synthetic sets feed the SAME
+    ``build_eval_splits`` machinery the real loaders use (zero-/10-/100-shot
+    filtering against the train triplet counts, datasets.py:186-212), and
+    the ``BatchLoader`` synthesizes blank canvases for the file-less
+    datasets, so the whole model (VGG trunk included) executes. Vocabulary
+    sizes default to VG-Stanford so checkpoints are shape-compatible.
+    """
+    from sgg_tpu.data.datasets import (SGGDataset, build_eval_splits,
+                                       shot_filter)
+
+    raws = {
+        mode: SyntheticSGGDataset(
+            num_images=n, num_classes=num_classes,
+            num_predicates=num_predicates, max_objects=max_objects,
+            image_size=image_size, seed=seed + off)
+        for mode, n, off in (("train", num_train, 0),
+                             ("val", num_eval, 1),
+                             ("test", num_eval, 2))
+    }
+
+    def loader(mode, training_triplets=None, n_shots=-1):
+        raw = raws[mode]
+        rels = raw.relationships
+        if training_triplets is not None:
+            rels = [r[shot_filter(r, c, training_triplets, n_shots)]
+                    for r, c in zip(rels, raw.gt_classes)]
+        keep = [i for i, r in enumerate(rels) if len(r)]
+        return SGGDataset(
+            name="stanford", mode=mode, filenames=[], images_dir="",
+            gt_boxes=[raw.gt_boxes[i] for i in keep],
+            gt_classes=[raw.gt_classes[i] for i in keep],
+            relationships=[rels[i] for i in keep],
+            ind_to_classes=raw.ind_to_classes,
+            ind_to_predicates=raw.ind_to_predicates,
+            box_coordinates="native")
+
+    return build_eval_splits(loader)

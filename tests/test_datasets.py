@@ -347,3 +347,33 @@ def test_vte_full_splits(vte_h5, tmp_path):
     tt = set(splits["train"].triplet_counts)
     for k in splits["val_zs"].triplet_counts:
         assert k not in tt
+
+
+def test_synthetic_splits_contract():
+    """-split synthetic: reference-shaped splits through the real
+    build_eval_splits machinery (zero-shot sets disjoint from train)."""
+    from sgg_tpu.data.synthetic import synthetic_splits
+
+    splits = synthetic_splits(num_train=24, num_eval=10, num_classes=20,
+                              num_predicates=8, max_objects=6, seed=0)
+    for k in ("train", "val_alls", "val_zs", "test_alls", "test_zs",
+              "test_10s", "test_100s"):
+        assert k in splits, k
+    train_trips = set(splits["train"].triplet_counts)
+    assert len(splits["train"]) == 24
+    # zero-shot: no val_zs triplet appears in train
+    assert not (set(splits["val_zs"].triplet_counts) & train_trips)
+    tv = train_trips | set(splits["val_alls"].triplet_counts)
+    assert not (set(splits["test_zs"].triplet_counts) & tv)
+    # 10-shot: every kept triplet has train+val count in [1, 10]
+    counts = dict(splits["train"].triplet_counts)
+    for k2, v in splits["val_alls"].triplet_counts.items():
+        counts[k2] = counts.get(k2, 0) + v
+    for t in splits["test_10s"].triplet_counts:
+        assert 1 <= counts.get(t, 0) <= 10, t
+    # every split loads through BatchLoader (blank canvases, native boxes)
+    from sgg_tpu.data.pipeline import BatchLoader
+    gb = next(iter(BatchLoader(splits["val_alls"], batch_size=2, max_nodes=8,
+                               max_edges=12, with_images=False,
+                               shuffle=False)))
+    assert gb.boxes.shape[0] == 2

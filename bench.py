@@ -167,7 +167,68 @@ def main():
             sgdet_per_sec / REFERENCE_SGDET_EVAL_IMAGES_PER_SEC, 2)
     if sgcls_eval_per_sec is not None:
         line["sgcls_eval_images_per_sec"] = round(sgcls_eval_per_sec, 2)
+
+    # ---- GAN-augmented training (the ICCV'21 configuration, reference
+    # main.py -gan: F/G/D phases in one jitted program). Reference pays
+    # ~2x its base step for -gan (~6 img/s at b=24).
+    gan_per_sec = None
+    try:
+        gan_per_sec = _bench_gan_train()
+    except Exception:
+        pass
+    if gan_per_sec is not None:
+        line["gan_train_images_per_sec"] = round(gan_per_sec, 2)
     print(json.dumps(line))
+
+
+def _bench_gan_train(B: int = BATCH):
+    """img/s of the one-program GAN F/G/D training step (SGG fwd+bwd,
+    generator GCN->layout->CRN, three spectral-norm discriminators, rec
+    losses, three optimizer updates)."""
+    import jax.numpy as jnp
+
+    from sgg_tpu.config import Config
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models import RelModelIMP
+    from sgg_tpu.models.gan import GANModel
+    from sgg_tpu.ops.boxes import scale_boxes_01
+    from sgg_tpu.train.assign import sample_edges
+    from sgg_tpu.train.gan_step import create_gan_state, make_gan_train_step
+    from sgg_tpu.train.state import create_train_state
+
+    config = Config(batch_size=B, max_nodes=MAX_NODES, max_edges=MAX_EDGES,
+                    mode="sgcls", loss="dnorm", gan=True,
+                    ganlosses=("D", "G", "rec"))
+    ds = SyntheticSGGDataset(num_images=B, num_classes=151,
+                             num_predicates=51, max_objects=20,
+                             image_size=IMG, with_images=True, seed=0)
+    gb = jax.device_put(ds.batch(list(range(B)), max_nodes=MAX_NODES,
+                                 max_edges=MAX_EDGES))
+    model = RelModelIMP(num_classes=151, num_predicates=51, mode="sgcls",
+                        dtype=jnp.bfloat16)
+    gan = GANModel(num_classes=151, num_predicates=51, dtype=jnp.bfloat16)
+    sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
+                               gb.node_mask, max_out=MAX_EDGES)
+    variables = jax.jit(lambda k: model.init(
+        k, gb.images, gb.boxes, gb.classes, sampled[..., :2], pm,
+        train=False))(jax.random.key(0))
+    boxes01 = scale_boxes_01(gb.boxes, gb.im_hw)
+    gan_vars = jax.jit(lambda k: gan.init(
+        k, gb.classes, boxes01, gb.rels, gb.node_mask, gb.rel_mask,
+        train=False, method=gan.init_all))(jax.random.key(1))
+    state = create_gan_state(config, create_train_state(config, variables),
+                             gan_vars)
+    step = make_gan_train_step(model, gan, config)
+    for i in range(2):
+        state, metrics = step(state, gb, gb.classes, None, jax.random.key(i))
+    float(metrics["obj_loss"])
+    t0 = time.perf_counter()
+    iters = 10
+    for i in range(iters):
+        state, metrics = step(state, gb, gb.classes, None,
+                              jax.random.key(10 + i))
+    float(metrics["obj_loss"])
+    return B * iters / (time.perf_counter() - t0)
 
 
 def _bench_sgcls_eval(model, B: int = 8, eval_nodes: int = 64):

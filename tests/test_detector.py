@@ -44,6 +44,26 @@ def test_nms_matches_greedy_oracle():
         np.testing.assert_array_equal(got, want)
 
 
+def test_nms_fixpoint_matches_sequential():
+    """The parallel fixed-point NMS equals the sequential fori_loop greedy
+    bit-for-bit, including on dense suppression-chain-heavy sets."""
+    rng = np.random.RandomState(7)
+    for n, spread in ((64, 30.0), (200, 15.0), (200, 60.0)):
+        boxes = rng.rand(n, 4).astype(np.float32) * spread
+        boxes[:, 2:] += boxes[:, :2] + rng.rand(n, 2).astype(np.float32) * 20
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        a_idx, a_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.4, n,
+                            method="fixpoint")
+        b_idx, b_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.4, n,
+                            method="sequential")
+        np.testing.assert_array_equal(np.asarray(a_mask), np.asarray(b_mask))
+        np.testing.assert_array_equal(np.asarray(a_idx)[np.asarray(a_mask)],
+                                      np.asarray(b_idx)[np.asarray(b_mask)])
+
+
 def test_nms_respects_validity_and_max_out():
     boxes = np.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
                        np.float32)

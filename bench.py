@@ -247,8 +247,9 @@ def _bench_sgcls_eval(model, B: int = 8, eval_nodes: int = 64):
                                  max_edges=MAX_EDGES))
     sampled, pm = sample_edges(jax.random.key(0), gb.rels, gb.rel_mask,
                                gb.node_mask, max_out=MAX_EDGES)
-    variables = model.init(jax.random.key(0), gb.images, gb.boxes,
-                           gb.classes, sampled[..., :2], pm, train=False)
+    variables = jax.jit(lambda k: model.init(
+        k, gb.images, gb.boxes, gb.classes, sampled[..., :2], pm,
+        train=False))(jax.random.key(0))
     step = make_eval_step(model, mode="sgcls", max_pairs=512)
     out = step(variables, gb)
     float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).ravel()[0])

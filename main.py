@@ -39,10 +39,14 @@ def main():
                               filter_non_overlap=config.mode == "sgdet")
     elif config.split == "synthetic":
         # full train/eval path on generated data — no 60 GB download needed
-        # (smoke-testing / CI; vocabulary sizes match VG-Stanford)
+        # (smoke-testing / CI; vocabulary sizes match VG-Stanford). val_size
+        # sizes the generated eval sets only when set to something small —
+        # its reference DEFAULT of 5000 (a subsample cap for the real 26k
+        # val split) would otherwise generate 5000-image eval sets and turn
+        # the smoke run into hours of eval.
         from sgg_tpu.data.synthetic import synthetic_splits
-        splits = synthetic_splits(num_eval=max(config.val_size, 8)
-                                  if config.val_size else 16)
+        splits = synthetic_splits(
+            num_eval=config.val_size if 0 < config.val_size <= 1000 else 16)
     elif config.split == "gqa":
         from sgg_tpu.data import gqa as dsmod
         splits = dsmod.splits(config.data, num_val_im=config.val_size,

@@ -104,7 +104,7 @@ class SyntheticSGGDataset:
 def synthetic_splits(num_train: int = 64, num_eval: int = 16,
                      num_classes: int = 151, num_predicates: int = 51,
                      max_objects: int = 20, image_size: int = IM_SCALE,
-                     seed: int = 0, **_ignored):
+                     seed: int = 0):
     """Reference-shaped splits from synthetic data (CLI ``-split synthetic``).
 
     Lets the full ``main.py`` train/eval path run without the ~60 GB VG/GQA

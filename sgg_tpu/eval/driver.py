@@ -154,8 +154,12 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         for b_i, batch in enumerate(loader):
             if n_batches > -1 and b_i >= n_batches:
                 break
+            # host copies BEFORE any device placement: the per-image loop
+            # below and the budget pick read these repeatedly, and reading
+            # them back from a sharded batch would be a D2H per access
+            gt_node_mask = np.asarray(batch.node_mask)
+            gt_boxes_b = np.asarray(batch.boxes)
             if mesh is not None and batch.batch_size % mesh.size == 0:
-                from sgg_tpu.parallel.mesh import shard_batch
                 batch = shard_batch(batch, mesh)
             if m == "sgdet":
                 from sgg_tpu.models.sgdet import sgdet_eval_with_retry
@@ -165,23 +169,20 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 node_mask = np.asarray(out["det_mask"])
                 boxes = np.asarray(out["det_boxes"])
             else:
-                n_i = np.asarray(batch.node_mask).sum(axis=1)
+                n_i = gt_node_mask.sum(axis=1)
                 need = int((n_i * (n_i - 1)).max()) if len(n_i) else 0
                 # dense (None) fallback when a caller-supplied ladder has
                 # no rung covering this batch — exactness over speed
                 budget = next((b for b in pair_ladder
                                if b is None or b >= need), None)
                 out = get_eval_step(m, budget)(variables, batch)
-                node_mask = np.asarray(batch.node_mask)
-                boxes = np.asarray(batch.boxes)
+                node_mask = gt_node_mask
+                boxes = gt_boxes_b
             obj_scores = np.asarray(out["obj_scores"], np.float32)
             obj_preds = np.asarray(out["obj_preds"])
             rel_dists = np.asarray(out["rel_dists"], np.float32)
             pairs = np.asarray(out["pairs"])
             pair_mask = np.asarray(out["pair_mask"])
-
-            gt_node_mask = np.asarray(batch.node_mask)
-            gt_boxes_b = np.asarray(batch.boxes)
             for i in range(batch.batch_size):
                 idx = img_base + i
                 if idx >= len(dataset):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sgg_tpu.ops.grid_sample import box01_extents as _box01_extents
 from sgg_tpu.ops.grid_sample import paint_weights as _paint_weights
 
 
@@ -48,12 +49,7 @@ def boxes_to_layout(vecs: jnp.ndarray, boxes01: jnp.ndarray,
         vecs = jnp.broadcast_to(vecs[:, :, None, None, :],
                                 (*vecs.shape[:2], 8, 8, vecs.shape[-1]))
     p, q = vecs.shape[2], vecs.shape[3]
-    x0 = boxes01[..., 0]
-    y0 = boxes01[..., 1]
-    ww = boxes01[..., 2] - x0
-    hh = boxes01[..., 3] - y0
-    ww = jnp.where(ww != 0, ww, 1e-6)  # boxes01_to_grid degenerate guard
-    hh = jnp.where(hh != 0, hh, 1e-6)
+    x0, y0, ww, hh = _box01_extents(boxes01)
     dtype = vecs.dtype
     Wy = _paint_weights(y0, hh, H, p).astype(dtype)    # (B, N, H, p)
     Wx = _paint_weights(x0, ww, W, q).astype(dtype)    # (B, N, W, q)

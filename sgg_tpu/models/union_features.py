@@ -64,18 +64,14 @@ class UnionBoxFeats(nn.Module):
         P = self.pooling_size * 4 - 1  # 27 (get_union_boxes.py:67)
         if self.edge_model == "raw_boxes":
             assert im_hw is not None, "raw_boxes needs per-image (h, w)"
-            from sgg_tpu.ops.grid_sample import paint_weights
+            from sgg_tpu.ops.grid_sample import box01_extents, paint_weights
             from sgg_tpu.ops.boxes import scale_boxes_01
             boxes = pair_boxes.reshape(*pair_boxes.shape[:-1], 2, 4)
             boxes01 = scale_boxes_01(
                 boxes.reshape(boxes.shape[0], -1, 4), im_hw)
             # grid_sample of a CONSTANT ones image separates into per-axis
             # coverage row-sums (same tap math, no gathers):
-            x0, y0 = boxes01[..., 0], boxes01[..., 1]
-            ww = boxes01[..., 2] - x0
-            hh = boxes01[..., 3] - y0
-            ww = jnp.where(ww != 0, ww, 1e-6)
-            hh = jnp.where(hh != 0, hh, 1e-6)
+            x0, y0, ww, hh = box01_extents(boxes01)
             vy = paint_weights(y0, hh, P, P).sum(-1)   # (B, 2E, P)
             vx = paint_weights(x0, ww, P, P).sum(-1)
             masks = vy[..., :, None] * vx[..., None, :]

@@ -53,6 +53,19 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return out.astype(img.dtype)
 
 
+def box01_extents(boxes01: jnp.ndarray):
+    """(x0, y0, w, h) of [0,1] boxes with degenerate extents floored at
+    1e-6 — the guard ``paint_weights``/``boxes01_to_grid`` divide by.
+    Shared by every paint-weight caller so the guard can't be forgotten."""
+    x0 = boxes01[..., 0]
+    y0 = boxes01[..., 1]
+    ww = boxes01[..., 2] - x0
+    hh = boxes01[..., 3] - y0
+    ww = jnp.where(ww != 0, ww, 1e-6)
+    hh = jnp.where(hh != 0, hh, 1e-6)
+    return x0, y0, ww, hh
+
+
 def paint_weights(start: jnp.ndarray, extent: jnp.ndarray, out_dim: int,
                   in_dim: int) -> jnp.ndarray:
     """(..., out_dim, in_dim) bilinear paint weights along one axis.
@@ -82,12 +95,8 @@ def boxes01_to_grid(boxes: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     ``grid_sample_2d(feat, grid)`` paints ``feat`` into the box on an HxW
     canvas (reference ``_boxes_to_grid``, augment/layout.py:102-136).
     """
-    x0 = boxes[..., 0:1, None]
-    y0 = boxes[..., 1:2, None]
-    ww = boxes[..., 2:3, None] - x0
-    hh = boxes[..., 3:4, None] - y0
-    ww = jnp.where(ww != 0, ww, 1e-6)
-    hh = jnp.where(hh != 0, hh, 1e-6)
+    x0, y0, ww, hh = [a[..., None, None]
+                      for a in box01_extents(boxes)]
     X = jnp.linspace(0.0, 1.0, W).reshape(1, W)
     Y = jnp.linspace(0.0, 1.0, H).reshape(H, 1)
     gx = (X - x0) / ww  # (..., H|1, W)

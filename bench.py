@@ -134,11 +134,13 @@ def main():
     # the reference's slowest protocol (~1.4 img/s: "a couple hours" for
     # the 10k-image GQA test set, README.md:243). Guarded so a failure
     # cannot break the one-JSON-line contract.
+    errors = {}
     sgdet_per_sec = None
     try:
         sgdet_per_sec = _bench_sgdet_eval()
-    except Exception:
-        pass
+    except Exception as e:  # record, don't hide (a consumer must be able
+        errors["sgdet_eval_error"] = repr(e)[:120]  # to tell broken from
+        pass                                        # not-run)
 
     # ---- sgcls eval (the reference's per-epoch val / test protocol,
     # lib/eval.py val_epoch at batch size 1): jitted all-pairs eval step
@@ -149,13 +151,19 @@ def main():
     sgcls_eval_per_sec = None
     try:
         sgcls_eval_per_sec = _bench_sgcls_eval(model)
-    except Exception:
-        pass
+    except Exception as e:
+        errors["sgcls_eval_error"] = repr(e)[:120]
 
     line = {
         "metric": "sgcls_train_images_per_sec",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
+        # PROVENANCE: both vs_baseline denominators are ESTIMATES derived
+        # from the reference README's runtime claims (13 img/s train from
+        # "~1 day" for 57k imgs x 20 epochs + eval, README.md:227;
+        # 1.4 img/s sgdet eval from "a couple hours" for 10k images,
+        # README.md:243) — no measured 2080Ti number exists in the repo.
+        "baseline_source": "estimate",
         "vs_baseline": round(img_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
         "pipeline_images_per_sec": round(pipe_per_sec, 2),
         "pipeline_vs_baseline": round(
@@ -174,10 +182,11 @@ def main():
     gan_per_sec = None
     try:
         gan_per_sec = _bench_gan_train()
-    except Exception:
-        pass
+    except Exception as e:
+        errors["gan_train_error"] = repr(e)[:120]
     if gan_per_sec is not None:
         line["gan_train_images_per_sec"] = round(gan_per_sec, 2)
+    line.update(errors)
     print(json.dumps(line))
 
 

@@ -45,6 +45,10 @@ def main():
         # val split) would otherwise generate 5000-image eval sets and turn
         # the smoke run into hours of eval.
         from sgg_tpu.data.synthetic import synthetic_splits
+        if not (0 < config.val_size <= 1000):
+            print(f"[synthetic] -val_size {config.val_size} out of the "
+                  "smoke-run range (0, 1000] -> generating 16-image eval "
+                  "sets instead")
         splits = synthetic_splits(
             num_eval=config.val_size if 0 < config.val_size <= 1000 else 16)
     elif config.split == "gqa":

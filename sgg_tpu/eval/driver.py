@@ -30,6 +30,7 @@ from sgg_tpu.data.pipeline import BatchLoader
 from sgg_tpu.eval.sgg_eval import MeanRecallEvaluator, SGGEvaluator
 from sgg_tpu.eval.surgery import filter_dets
 from sgg_tpu.models.frequency_bias import count_matrices
+from sgg_tpu.utils import counters
 
 ALL_SHOT_SPLITS = ("val_alls", "test_alls")
 
@@ -119,6 +120,7 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
 
     entries = []
     n_evaluated = 0
+    counters_before = counters.snapshot()
     sgdet_cache: Dict = {}
     # Pair-budget ladder: the bucket is sized to the split's LARGEST graph,
     # so the dense N*(N-1) enumeration wastes most of its compute on masked
@@ -175,6 +177,9 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 # no rung covering this batch — exactness over speed
                 budget = next((b for b in pair_ladder
                                if b is None or b >= need), None)
+                counters.bump("eval_ladder_batches")
+                counters.bump("eval_ladder_dense" if budget is None
+                              else f"eval_ladder_rung_{budget}")
                 out = get_eval_step(m, budget)(variables, batch)
                 node_mask = gt_node_mask
                 boxes = gt_boxes_b
@@ -262,6 +267,15 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
 
     if log_fn is not None:
         log_fn(results)
+    # exactness-cap instrumentation (VERDICT r2 "weak #3"): which ladder
+    # rungs ran and how often the sgdet pair/NMS caps overflowed to their
+    # exact fallbacks — so a real-data run shows whether the compiled fast
+    # paths actually applied. Attached after log_fn (non-scalar values).
+    cap_events = counters.delta(counters_before)
+    if cap_events:
+        results["_counters"] = cap_events  # type: ignore
+        if verbose:
+            print(f"[val_epoch {name}] exactness-cap counters: {cap_events}")
     if collect_entries:
         results["_entries"] = entries  # type: ignore
     return results

@@ -117,8 +117,12 @@ def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
     reference's VG settings) would need 23 GB of IoU — torchvision avoids
     this with a data-dependent ``scores > score_thresh`` gather that has no
     static shape. The cap is exact whenever at most M candidates clear
-    ``score_thresh`` (D is 50; candidates are score-sorted, so only
-    pathological score distributions are affected).
+    ``score_thresh``; at low thresholds (the sgdet retry floor of 0.01)
+    softmax tails can push many (proposal, class) cells over the line, so
+    the output carries ``n_candidates`` (per-image count of candidates
+    clearing the threshold, computed BEFORE the cap) — callers detect
+    ``n_candidates > nms_candidates`` and re-run with a larger M
+    (``sgdet_eval_with_retry`` does this automatically).
     """
     B, P, C = class_logits.shape
     D = detections_per_img
@@ -139,6 +143,7 @@ def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
         valid &= jnp.repeat(pmask, C - 1)
         # min box size (torchvision min_size=1e-2 after regression)
         valid &= ((b[:, 2] - b[:, 0]) > 1e-2) & ((b[:, 3] - b[:, 1]) > 1e-2)
+        n_cand = valid.sum()  # pre-cap count: the overflow signal
         # top-M candidate cap (see docstring)
         M = min(nms_candidates, s.shape[0])
         cs, ci = jax.lax.top_k(jnp.where(valid, s, -jnp.inf), M)
@@ -150,12 +155,12 @@ def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
         idx, mask = nms(b[ci] + offset, cs, cvalid, nms_thresh, D)
         # composed indices, not chained gathers (see generate_proposals)
         fi = ci[idx]
-        return b[fi], lbl[fi], jnp.where(mask, cs[idx], 0.0), mask
+        return b[fi], lbl[fi], jnp.where(mask, cs[idx], 0.0), mask, n_cand
 
-    boxes, labels, det_scores, mask = jax.vmap(one)(
+    boxes, labels, det_scores, mask, n_candidates = jax.vmap(one)(
         boxes_all, scores, prop_mask, im_hw)
     return {"boxes": boxes, "labels": labels, "scores": det_scores,
-            "mask": mask}
+            "mask": mask, "n_candidates": n_candidates}
 
 
 class FasterRCNNVGG(nn.Module):

@@ -91,6 +91,7 @@ def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
             "pairs": pairs, "pair_mask": pair_mask,
             "rel_dists": jax.nn.softmax(out["rel_logits"], axis=-1),
             "n_det": mask.sum(axis=1),
+            "n_nms_candidates": det["n_candidates"],
         })
         return _zero_padded(out, mask, pair_mask)
 
@@ -164,6 +165,9 @@ def make_sgdet_retry_eval_step(detector, relmodel,
             "rel_dists": jax.nn.softmax(out["rel_logits"], axis=-1),
             "n_det": mask.sum(axis=1),
             "sel_thresh": sel_thresh, "pair_count": pair_count,
+            # pre-cap NMS candidate count (postprocess_detections): callers
+            # compare against detector.nms_candidates to detect cap overflow
+            "n_nms_candidates": det["n_candidates"],
         })
         return _zero_padded(out, mask, pair_mask)
 
@@ -257,22 +261,53 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
     make_sgdet_retry_eval_step for the equivalence argument) with a
     compacted candidate-pair set; batches where some image exceeds
     ``max_pairs`` valid pairs re-run through the dense-shape step, so the
-    result is always exact."""
+    result is always exact.
+
+    Both exactness caps are checked and escalated here:
+
+    * pair budget: ``pair_count > max_pairs`` re-runs dense-shape;
+    * NMS candidate cap: ``n_nms_candidates > detector.nms_candidates``
+      (more candidates cleared the lowest threshold than the top-M
+      prefilter kept — see ``postprocess_detections``) re-runs with the
+      cap doubled until it covers, restoring the prefix-equivalence
+      precondition.
+
+    Overflow/fallback rates accumulate in ``sgg_tpu.utils.counters``
+    (``sgdet_batches``, ``sgdet_pair_overflow``,
+    ``sgdet_nms_cand_overflow``)."""
     import numpy as np
 
+    from sgg_tpu.utils import counters
+
     cache = _cache if _cache is not None else {}
-    key = ("retry", tuple(thresholds), require_overlap, max_pairs)
-    if key not in cache:
-        cache[key] = make_sgdet_retry_eval_step(
-            detector, relmodel, thresholds=thresholds,
-            require_overlap=require_overlap, max_pairs=max_pairs)
-    out = cache[key](variables, batch)
+
+    def get_step(det, mp):
+        key = ("retry", tuple(thresholds), require_overlap, mp,
+               getattr(det, "nms_candidates", None))
+        if key not in cache:
+            cache[key] = make_sgdet_retry_eval_step(
+                det, relmodel, thresholds=thresholds,
+                require_overlap=require_overlap, max_pairs=mp)
+        return cache[key]
+
+    counters.bump("sgdet_batches")
+    out = get_step(detector, max_pairs)(variables, batch)
+
+    # NMS candidate-cap escalation (exactness precondition of the retry
+    # step's prefix argument): double M until it covers the batch.
+    cap = getattr(detector, "nms_candidates", None)
+    if cap is not None and "n_nms_candidates" in out:
+        need = int(np.max(np.asarray(out["n_nms_candidates"])))
+        if need > cap:
+            counters.bump("sgdet_nms_cand_overflow")
+            new_cap = cap
+            while new_cap < need:
+                new_cap *= 2
+            detector = detector.clone(nms_candidates=new_cap)
+            out = get_step(detector, max_pairs)(variables, batch)
+
     if (max_pairs is not None
             and int(np.max(np.asarray(out["pair_count"]))) > max_pairs):
-        dense = ("retry", tuple(thresholds), require_overlap, None)
-        if dense not in cache:
-            cache[dense] = make_sgdet_retry_eval_step(
-                detector, relmodel, thresholds=thresholds,
-                require_overlap=require_overlap, max_pairs=None)
-        out = cache[dense](variables, batch)
+        counters.bump("sgdet_pair_overflow")
+        out = get_step(detector, None)(variables, batch)
     return {k: np.asarray(v) for k, v in out.items()}

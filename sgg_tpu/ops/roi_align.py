@@ -136,11 +136,17 @@ def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, *,
 
         def chunk_fn(w):
             wy, wx = w  # (B, chunk, P, H), (B, chunk, P, W)  float32
-            # combined weights: W2[(p,q),(y,x)] = Wy[p,y] * Wx[q,x];
-            # the f32 outer product fuses into the bf16 cast (one rounding).
+            # combined weights: W2[(p,q),(y,x)] = Wy[p,y] * Wx[q,x].
+            # Cast the factors BEFORE the outer product: a float32 W2 at
+            # production shapes (B=24, chunk=64, P=7, 37x37 fmap) is a
+            # ~412 MB transient if XLA fails to fuse the cast; bf16 factors
+            # bound it at half that and match the separable path's rounding
+            # (two roundings, one per factor).
+            wy = wy.astype(dtype)
+            wx = wx.astype(dtype)
             w2 = (wy[:, :, :, None, :, None]
                   * wx[:, :, None, :, None, :])   # (B, r, P, P, H, W)
-            w2 = w2.reshape(B, roi_chunk * P * P, H * W).astype(dtype)
+            w2 = w2.reshape(B, roi_chunk * P * P, H * W)
             out = jnp.einsum("bkl,blc->bkc", w2, fm,
                              preferred_element_type=jnp.float32)
             return out.astype(dtype).reshape(B, roi_chunk, P, P, C)

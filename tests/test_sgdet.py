@@ -176,6 +176,10 @@ def test_sgdet_retry_is_per_image():
     want_thresh[easy] = t_hi
     np.testing.assert_allclose(out["sel_thresh"], want_thresh, rtol=1e-6)
     for k in hi:
+        if k == "n_nms_candidates":
+            # diagnostic, defined at each run's own score threshold (the
+            # retry step counts at t_min) — not part of the identity claim
+            continue
         np.testing.assert_array_equal(out[k][easy], hi[k][easy], err_msg=k)
         np.testing.assert_array_equal(out[k][hard], lo[k][hard], err_msg=k)
 
@@ -217,3 +221,29 @@ def test_sgdet_pair_compaction_exact():
                                 gb, thresholds=(0.2, 0.0), max_pairs=2)
     assert out["pairs"].shape[1] == dense["pairs"].shape[1]
     np.testing.assert_array_equal(out["pair_mask"], dense["pair_mask"])
+
+
+def test_sgdet_nms_candidate_cap_escalation():
+    """At low retry thresholds more (proposal, class) candidates can clear
+    the score line than the top-M NMS prefilter keeps, breaking the
+    exactness precondition of the single-pass retry step; the wrapper must
+    detect the overflow (``n_nms_candidates``) and re-run with a doubled
+    cap until it covers, matching an uncapped run byte-for-byte."""
+    from sgg_tpu.utils import counters
+
+    config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
+    tiny = detector.clone(nms_candidates=8)
+
+    before = counters.snapshot()
+    out = sgdet_eval_with_retry(tiny, relmodel, (det_vars, rel_vars), gb,
+                                thresholds=(0.2, 0.0), max_pairs=None)
+    d = counters.delta(before)
+    assert int(np.max(out["n_nms_candidates"])) > 8
+    assert d.get("sgdet_nms_cand_overflow", 0) == 1
+
+    big = detector.clone(nms_candidates=10_000)
+    ref = sgdet_eval_with_retry(big, relmodel, (det_vars, rel_vars), gb,
+                                thresholds=(0.2, 0.0), max_pairs=None)
+    for k in ("det_boxes", "det_labels", "det_scores", "det_mask",
+              "sel_thresh"):
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)

@@ -90,12 +90,18 @@ def load_graphs(graphs_file: str, mode: str = "train", num_im: int = -1,
         split_mask[image_index] = True
 
         all_labels = h5["labels"][:, 0]
-        all_boxes = h5[f"boxes_{BOX_SCALE}"][:].astype(np.float32)
+        all_boxes = h5[f"boxes_{BOX_SCALE}"][:]
         assert np.all(all_boxes[:, :2] >= 0)
         assert np.all(all_boxes[:, 2:] > 0)
-        # center -> corner (visual_genome.py:565-567)
+        # center -> corner (visual_genome.py:565-567). Arithmetic happens
+        # in the STORED dtype: the real VG-SGG.h5 stores int boxes, and the
+        # reference's in-place assignment truncates xc - w/2 back to int —
+        # x1 is floor(xc - w/2) for odd widths. Keeping the stored dtype
+        # through the conversion reproduces that bit-for-bit
+        # (tests/test_datasets_reference_parity.py).
         all_boxes[:, :2] = all_boxes[:, :2] - all_boxes[:, 2:] / 2
         all_boxes[:, 2:] = all_boxes[:, :2] + all_boxes[:, 2:]
+        all_boxes = all_boxes.astype(np.float32)
 
         first_box = h5["img_to_first_box"][split_mask]
         last_box = h5["img_to_last_box"][split_mask]

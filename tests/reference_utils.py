@@ -39,6 +39,7 @@ def _stub_torchvision(torch):
     tv_det = types.ModuleType("torchvision.models.detection")
     tv_frcnn = types.ModuleType("torchvision.models.detection.faster_rcnn")
     tv_rpn = types.ModuleType("torchvision.models.detection.rpn")
+    tv_tf = types.ModuleType("torchvision.transforms")
 
     tv_boxes.box_iou = _box_iou
     tv_ops.boxes = tv_boxes
@@ -53,15 +54,20 @@ def _stub_torchvision(torch):
     tv_rpn.AnchorGenerator = _Unavailable
     tv_det.faster_rcnn = tv_frcnn
     tv_det.rpn = tv_rpn
+    # transforms are imported (never executed) by dataloaders.visual_genome
+    for n in ("Resize", "Compose", "ToTensor", "Normalize"):
+        setattr(tv_tf, n, _Unavailable)
     tv.ops = tv_ops
     tv.models = tv_models
+    tv.transforms = tv_tf
 
     for name, mod in (("torchvision", tv), ("torchvision.ops", tv_ops),
                       ("torchvision.ops.boxes", tv_boxes),
                       ("torchvision.models", tv_models),
                       ("torchvision.models.detection", tv_det),
                       ("torchvision.models.detection.faster_rcnn", tv_frcnn),
-                      ("torchvision.models.detection.rpn", tv_rpn)):
+                      ("torchvision.models.detection.rpn", tv_rpn),
+                      ("torchvision.transforms", tv_tf)):
         sys.modules[name] = mod
 
 

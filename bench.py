@@ -39,6 +39,9 @@ REFERENCE_IMAGES_PER_SEC = 13.0  # 2080Ti-class estimate, see docstring
 # sgdet test eval: "a couple hours" for the 10k-image GQA test set
 # (reference README.md:243) ~= 1.4 img/s
 REFERENCE_SGDET_EVAL_IMAGES_PER_SEC = 1.4
+# detector fine-tune: "~1 day" for ~72k GQA images x 10 epochs
+# (reference README.md:236) ~= 8.3 img/s
+REFERENCE_DETECTOR_PRETRAIN_IMAGES_PER_SEC = 8.3
 BATCH = 24
 MAX_NODES = 40
 MAX_EDGES = 256
@@ -135,9 +138,9 @@ def main():
     # the 10k-image GQA test set, README.md:243). Guarded so a failure
     # cannot break the one-JSON-line contract.
     errors = {}
-    sgdet_per_sec = None
+    sgdet_per_sec = sgdet_caps = None
     try:
-        sgdet_per_sec = _bench_sgdet_eval()
+        sgdet_per_sec, sgdet_caps = _bench_sgdet_eval()
     except Exception as e:  # record, don't hide (a consumer must be able
         errors["sgdet_eval_error"] = repr(e)[:120]  # to tell broken from
         pass                                        # not-run)
@@ -173,6 +176,11 @@ def main():
         line["sgdet_eval_images_per_sec"] = round(sgdet_per_sec, 2)
         line["sgdet_eval_vs_baseline"] = round(
             sgdet_per_sec / REFERENCE_SGDET_EVAL_IMAGES_PER_SEC, 2)
+    if sgdet_caps is not None:
+        # exactness-cap overflow rates over the bench batches (fraction of
+        # images whose candidate pairs / NMS candidates exceeded the
+        # compiled fast-path caps and took the exact fallback)
+        line.update({k: round(v, 4) for k, v in sgdet_caps.items()})
     if sgcls_eval_per_sec is not None:
         line["sgcls_eval_images_per_sec"] = round(sgcls_eval_per_sec, 2)
 
@@ -186,6 +194,39 @@ def main():
         errors["gan_train_error"] = repr(e)[:120]
     if gan_per_sec is not None:
         line["gan_train_images_per_sec"] = round(gan_per_sec, 2)
+
+    # ---- sgdet TRAINING step (frozen detector -> rel_assignments ->
+    # rel-head update, one jitted program; reference main.py -m sgdet,
+    # ~same ~13 img/s class as sgcls training: "~1 day" runs)
+    try:
+        v = _bench_sgdet_train()
+        line["sgdet_train_images_per_sec"] = round(v, 2)
+        line["sgdet_train_vs_baseline"] = round(
+            v / REFERENCE_IMAGES_PER_SEC, 2)
+    except Exception as e:
+        errors["sgdet_train_error"] = repr(e)[:120]
+
+    # ---- detector pretraining step (RPN + RoI-head losses + SGD update;
+    # reference pretrain_detector.py spends ~1 day here, README.md:236)
+    try:
+        v = _bench_detector_pretrain()
+        line["detector_pretrain_images_per_sec"] = round(v, 2)
+        line["detector_pretrain_vs_baseline"] = round(
+            v / REFERENCE_DETECTOR_PRETRAIN_IMAGES_PER_SEC, 2)
+    except Exception as e:
+        errors["detector_pretrain_error"] = repr(e)[:120]
+
+    # ---- host-side prep rate (native C++ resize/flip/pad per worker):
+    # bounds the real-host pipeline claim: pipeline = min(compute, link,
+    # host_prep * workers). No TPU involved.
+    try:
+        per_worker, scaled, nthreads = _bench_host_prep()
+        line["host_prep_images_per_sec_per_worker"] = round(per_worker, 1)
+        line["host_prep_images_per_sec"] = round(scaled, 1)
+        line["host_prep_workers"] = nthreads
+    except Exception as e:
+        errors["host_prep_error"] = repr(e)[:120]
+
     line.update(errors)
     print(json.dumps(line))
 
@@ -309,7 +350,136 @@ def _bench_sgdet_eval(B: int = 8):
     for _ in range(iters):
         out = step((det_vars, rel_vars), gb)
     float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
+    ips = B * iters / (time.perf_counter() - t0)
+    # exactness-cap overflow rates on these batches (see
+    # sgdet_eval_with_retry: overflow triggers the exact fallback path)
+    caps = {
+        "sgdet_pair_fallback_rate": float(np.mean(
+            np.asarray(out["pair_count"]) > SGDET_EVAL_MAX_PAIRS)),
+        "sgdet_nms_cand_overflow_rate": float(np.mean(
+            np.asarray(out["n_nms_candidates"]) > det.nms_candidates)),
+    }
+    return ips, caps
+
+
+def _bench_sgdet_train(B: int = 8):
+    """img/s of the one-program sgdet TRAINING step: frozen full-size
+    detector forward, in-jit rel_assignments sampling, relation-head
+    forward+backward and SGD update (reference main.py -m sgdet)."""
+    import jax.numpy as jnp
+
+    from sgg_tpu.config import Config
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models import RelModelIMP
+    from sgg_tpu.models.detector import FasterRCNNVGG
+    from sgg_tpu.models.sgdet import detection_pairs, make_sgdet_train_step
+    from sgg_tpu.train.state import create_train_state
+
+    config = Config(batch_size=B, max_nodes=MAX_NODES, max_edges=MAX_EDGES,
+                    mode="sgdet", loss="dnorm")
+    ds = SyntheticSGGDataset(num_images=B, num_classes=151,
+                             num_predicates=51, max_objects=20,
+                             image_size=IMG, with_images=True, seed=0)
+    gb = jax.device_put(ds.batch(list(range(B)), max_nodes=MAX_NODES,
+                                 max_edges=MAX_EDGES))
+    det = FasterRCNNVGG(num_classes=151, dtype=jnp.bfloat16)
+    det_vars = jax.jit(lambda k, im, hw: det.init(k, im, hw, train=False))(
+        jax.random.key(0), gb.images, gb.im_hw)
+    dout = jax.jit(lambda v, im, hw: det.apply(v, im, hw, train=False))(
+        det_vars, gb.images, gb.im_hw)
+    rel = RelModelIMP(num_classes=151, num_predicates=51, mode="sgdet",
+                      dtype=jnp.bfloat16)
+    pairs, pm = detection_pairs(dout["boxes"], dout["mask"], True)
+    rel_vars = jax.jit(lambda k: rel.init(
+        k, None, dout["boxes"], dout["labels"], pairs, pm,
+        fmap=dout["fmap"], train=False))(jax.random.key(0))
+    state = create_train_state(config, rel_vars)
+    step = make_sgdet_train_step(det, rel, config, det_vars)
+    for i in range(2):
+        state, metrics = step(state, gb, jax.random.key(i))
+    total = float(metrics["total"])
+    assert np.isfinite(total), total
+    t0 = time.perf_counter()
+    iters = 10
+    for i in range(iters):
+        state, metrics = step(state, gb, jax.random.key(10 + i))
+    assert np.isfinite(float(metrics["total"]))
     return B * iters / (time.perf_counter() - t0)
+
+
+def _bench_detector_pretrain(B: int = 8):
+    """img/s of the jitted detector-pretraining step (trunk + RPN + RoI
+    heads forward, target assignment + balanced sampling, RPN/RoI losses,
+    backward, SGD update — reference pretrain_detector.py + engine.py)."""
+    import jax.numpy as jnp
+    import optax
+
+    from pretrain_detector import make_detector_train_step
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models.detector import FasterRCNNVGG
+    from sgg_tpu.train.state import TrainState
+
+    ds = SyntheticSGGDataset(num_images=B, num_classes=151,
+                             num_predicates=51, max_objects=20,
+                             image_size=IMG, with_images=True, seed=0)
+    gb = jax.device_put(ds.batch(list(range(B)), max_nodes=MAX_NODES,
+                                 max_edges=1))
+    det = FasterRCNNVGG(num_classes=151, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda k, im, hw: det.init(k, im, hw, train=False))(
+        jax.random.key(0), gb.images, gb.im_hw)
+    tx = optax.chain(optax.add_decayed_weights(5e-4),
+                     optax.sgd(0.005, momentum=0.9))
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), tx=tx)
+    step = make_detector_train_step(det, None)
+    for i in range(2):
+        state, metrics = step(state, gb, jax.random.key(i))
+    assert np.isfinite(float(metrics["total"]))
+    t0 = time.perf_counter()
+    iters = 10
+    for i in range(iters):
+        state, metrics = step(state, gb, jax.random.key(10 + i))
+    assert np.isfinite(float(metrics["total"]))
+    return B * iters / (time.perf_counter() - t0)
+
+
+def _bench_host_prep(n_images: int = 64):
+    """Host-side image-prep rate: the native C++ one-pass resize/flip/
+    mean-padded-canvas prep (sgg_tpu/native/image_prep.cpp) on VG-sized
+    uint8 images, single-thread and thread-scaled (ctypes releases the GIL
+    during the C call, so worker threads scale across cores). No TPU."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sgg_tpu.data.pipeline import prepare_example
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (768, 1024, 3), np.uint8)
+            for _ in range(8)]
+    boxes = rng.rand(12, 4).astype(np.float32) * 500
+    boxes[:, 2:] += boxes[:, :2] + 10
+    rels = np.asarray([[0, 1, 1]], np.int32)
+
+    def prep(i):
+        r = np.random.RandomState(i)
+        prepare_example(imgs[i % len(imgs)], boxes, rels, "native", True,
+                        r, uint8=True)
+
+    for i in range(4):
+        prep(i)  # warm (triggers the on-demand native build)
+    t0 = time.perf_counter()
+    for i in range(n_images):
+        prep(i)
+    per_worker = n_images / (time.perf_counter() - t0)
+
+    nthreads = min(os.cpu_count() or 1, 8)
+    with ThreadPoolExecutor(nthreads) as pool:
+        list(pool.map(prep, range(4 * nthreads)))  # warm pool
+        t0 = time.perf_counter()
+        list(pool.map(prep, range(n_images * nthreads)))
+        scaled = n_images * nthreads / (time.perf_counter() - t0)
+    return per_worker, scaled, nthreads
 
 
 if __name__ == "__main__":

@@ -132,8 +132,11 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         pair_ladder = [b for b in (128, 512, 2048) if b < full_pairs] + [None]
     step_cache: Dict = {}
 
+    mesh_spans_processes = False
     if mesh is not None:
-        from sgg_tpu.parallel.mesh import replicate, shard_batch
+        from sgg_tpu.parallel.mesh import (is_multiprocess, replicate,
+                                           shard_batch)
+        mesh_spans_processes = is_multiprocess(mesh)
         variables = replicate(variables, mesh)
         if det_variables is not None:
             det_variables = replicate(det_variables, mesh)
@@ -181,6 +184,15 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 counters.bump("eval_ladder_dense" if budget is None
                               else f"eval_ladder_rung_{budget}")
                 out = get_eval_step(m, budget)(variables, batch)
+                if mesh is not None and mesh_spans_processes:
+                    # multi-host DP eval: outputs are sharded across
+                    # processes; gather the full value on every host so
+                    # the numpy evaluator sees all images (each host then
+                    # computes identical metrics)
+                    from jax.experimental import multihost_utils
+                    # tiled=True: global arrays are fetched as their full
+                    # value (the only supported mode for them)
+                    out = multihost_utils.process_allgather(out, tiled=True)
                 node_mask = gt_node_mask
                 boxes = gt_boxes_b
             obj_scores = np.asarray(out["obj_scores"], np.float32)

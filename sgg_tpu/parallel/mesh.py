@@ -39,16 +39,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one JAX process."""
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a GraphBatch with the leading axis sharded over the mesh."""
+    """Place a GraphBatch with the leading axis sharded over the mesh.
+
+    Works on a multi-host mesh too: every process passes the same full
+    (host-replicated) batch and ``make_array_from_callback`` materializes
+    only the shards its devices own (``device_put`` cannot target
+    non-addressable devices)."""
     sharding = batch_sharding(mesh, axis_name)
+    if is_multiprocess(mesh):
+        def place(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding,
+                                                lambda idx: x[idx])
+        return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/state) across the mesh."""
+    """Replicate a pytree (params/state) across the mesh (multi-host: same
+    full value passed on every process)."""
     sharding = replicated(mesh)
+    if is_multiprocess(mesh):
+        def place(x):
+            if not hasattr(x, "shape"):
+                return x
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding,
+                                                lambda idx: x[idx])
+        return jax.tree_util.tree_map(place, tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
         tree)

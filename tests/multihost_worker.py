@@ -1,10 +1,14 @@
 """Worker process for the 2-process multi-host CPU test.
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> \
+           [shared_ckpt_dir]
 Each worker owns 4 virtual CPU devices (XLA_FLAGS set by the parent), joins
 the coordinator, builds its LOCAL half of the global batch, assembles the
 globally-sharded batch via ``global_batch`` and runs one DP train step.
-Prints ``MHLOSS <value>`` on success.
+With a ``shared_ckpt_dir`` it additionally runs data-parallel evaluation
+(``val_epoch(mesh=...)``) over the 2-process mesh and an Orbax
+save/restore of the train state across processes.
+Prints ``MHLOSS <value>`` (+ ``MHEVAL``/``MHCKPT`` lines) on success.
 """
 
 import sys
@@ -12,6 +16,7 @@ import sys
 
 def main():
     proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -65,6 +70,53 @@ def main():
     assert np.isfinite(total)
     assert abs(mean - total) < 1e-6, (mean, total)  # same loss on all hosts
     print(f"MHLOSS {total:.10f}", flush=True)
+
+    if ckpt_dir is None:
+        return
+
+    # ---- data-parallel evaluation over the 2-process mesh: outputs are
+    # gathered on every host (val_epoch's process_allgather path), so each
+    # host computes metrics over ALL images and they must agree
+    from sgg_tpu.eval.driver import val_epoch
+    from test_trainer import _to_sggdataset
+
+    eval_ds = _to_sggdataset(
+        SyntheticSGGDataset(num_images=8, num_classes=9, num_predicates=5,
+                            min_objects=3, max_objects=5, image_size=IMG,
+                            seed=5), "test")
+    res = val_epoch(model, variables, eval_ds, config, "test",
+                    eval_batch_size=8, with_images=False, verbose=False,
+                    mesh=mesh)
+    avg = float(res["avg/test_R"])
+    assert np.isfinite(avg)
+    # host_mean roundtrips through float32 — the exact cross-process
+    # equality is asserted by the parent on the MHEVAL lines
+    assert abs(dist.host_mean(avg) - avg) < 1e-6, avg
+    print(f"MHEVAL {avg:.10f}", flush=True)
+
+    # ---- Orbax checkpoint across processes: save the (replicated,
+    # process-spanning) train state to the shared dir, restore it, and
+    # verify the restored step reproduces the saved state's next loss
+    from sgg_tpu.train import checkpoint as ckpt
+
+    ckpt.save_payload(ckpt_dir, {"params": state.params,
+                                 "batch_stats": state.batch_stats,
+                                 "step": state.step}, 0)
+    restored, epoch = ckpt.restore_payload(
+        ckpt_dir, {"params": state.params,
+                   "batch_stats": state.batch_stats, "step": state.step})
+    assert epoch == 0
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        state.params, restored["params"]))
+    assert same, "restored params differ from saved"
+    state2 = state.replace(params=restored["params"],
+                           batch_stats=restored["batch_stats"])
+    _, metrics2 = step(state2, batch, jax.random.key(2))
+    total2 = float(metrics2["total"])
+    assert np.isfinite(total2)
+    assert abs(dist.host_mean(total2) - total2) < 1e-6
+    print(f"MHCKPT {total2:.10f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -59,12 +59,16 @@ def test_large_graphs_not_truncated():
                           verbose=False)
     res_big = val_epoch(model, variables, ds, big_cfg, "test",
                         eval_batch_size=1, with_images=False, verbose=False)
-    assert res_small.keys() == res_big.keys()
+    # "_"-prefixed keys are non-metric attachments (cap counters, entries)
+    metrics_small = {k: v for k, v in res_small.items()
+                     if not k.startswith("_")}
+    metrics_big = {k: v for k, v in res_big.items() if not k.startswith("_")}
+    assert metrics_small.keys() == metrics_big.keys()
     checked = 0
-    for k in res_small:
-        assert np.isfinite(res_small[k]), k
-        np.testing.assert_allclose(res_small[k], res_big[k], atol=1e-6,
-                                   err_msg=k)
+    for k in metrics_small:
+        assert np.isfinite(metrics_small[k]), k
+        np.testing.assert_allclose(metrics_small[k], metrics_big[k],
+                                   atol=1e-6, err_msg=k)
         checked += 1
     assert checked and any(
         k.startswith("predcls/") and "R@100" in k for k in res_small)
@@ -100,6 +104,10 @@ def test_pair_ladder_matches_dense():
     res_dense = val_epoch(model, variables, ds, cfg, "test",
                           eval_batch_size=2, with_images=False,
                           verbose=False, pair_ladder=[None])
+    # exactness-cap counters record which path each run took
+    assert any(k.startswith("eval_ladder_rung_")
+               for k in res_ladder.pop("_counters"))
+    assert res_dense.pop("_counters").get("eval_ladder_dense", 0) > 0
     assert res_ladder.keys() == res_dense.keys()
     for k in res_ladder:
         np.testing.assert_allclose(res_ladder[k], res_dense[k], atol=1e-6,
@@ -137,6 +145,8 @@ def test_sharded_eval_matches_single_device():
     res_single = val_epoch(model, variables, ds, cfg, "test",
                            eval_batch_size=8, with_images=False,
                            verbose=False)
+    res_sharded.pop("_counters", None)
+    res_single.pop("_counters", None)
     assert res_sharded.keys() == res_single.keys()
     for k in res_sharded:
         np.testing.assert_allclose(res_sharded[k], res_single[k], atol=1e-6,

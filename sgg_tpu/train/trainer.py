@@ -346,6 +346,9 @@ class Trainer:
                     log_repeats=5 if test else 1))
             if collect_entries and "_entries" in res:
                 results.setdefault("_entries", {})[name] = res.pop("_entries")
+            if "_counters" in res:  # exactness-cap instrumentation per split
+                results.setdefault("_counters", {})[name] = res.pop(
+                    "_counters")
             results.update(res)
         return results
 

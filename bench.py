@@ -30,10 +30,19 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import numpy as np
+
+_T0 = time.time()
+
+
+def _stage(name: str) -> None:
+    """Progress marker on STDERR (stdout carries only the one JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {name}", file=sys.stderr,
+          flush=True)
 
 REFERENCE_IMAGES_PER_SEC = 13.0  # 2080Ti-class estimate, see docstring
 # sgdet test eval: "a couple hours" for the 10k-image GQA test set
@@ -70,6 +79,7 @@ def main():
     from sgg_tpu.train.state import create_train_state
     from sgg_tpu.train.step import make_train_step
 
+    _stage("sgcls_train")
     config = Config(batch_size=BATCH, max_nodes=MAX_NODES,
                     max_edges=MAX_EDGES, mode="sgcls", loss="dnorm")
     model = RelModelIMP(num_classes=151, num_predicates=51, mode="sgcls",
@@ -108,6 +118,7 @@ def main():
 
     from sgg_tpu.data.pipeline import device_prefetch
 
+    _stage("pipeline")
     host_batches = []
     for k in range(4):
         hb = ds.batch(list(range(BATCH)), max_nodes=MAX_NODES,
@@ -140,6 +151,7 @@ def main():
     errors = {}
     sgdet_per_sec = sgdet_caps = None
     try:
+        _stage("sgdet_eval")
         sgdet_per_sec, sgdet_caps = _bench_sgdet_eval()
     except Exception as e:  # record, don't hide (a consumer must be able
         errors["sgdet_eval_error"] = repr(e)[:120]  # to tell broken from
@@ -153,6 +165,7 @@ def main():
     # with ``state.params``, which the donating train step invalidates.
     sgcls_eval_per_sec = None
     try:
+        _stage("sgcls_eval")
         sgcls_eval_per_sec = _bench_sgcls_eval(model)
     except Exception as e:
         errors["sgcls_eval_error"] = repr(e)[:120]
@@ -189,6 +202,7 @@ def main():
     # ~2x its base step for -gan (~6 img/s at b=24).
     gan_per_sec = None
     try:
+        _stage("gan_train")
         gan_per_sec = _bench_gan_train()
     except Exception as e:
         errors["gan_train_error"] = repr(e)[:120]
@@ -199,6 +213,7 @@ def main():
     # rel-head update, one jitted program; reference main.py -m sgdet,
     # ~same ~13 img/s class as sgcls training: "~1 day" runs)
     try:
+        _stage("sgdet_train")
         v = _bench_sgdet_train()
         line["sgdet_train_images_per_sec"] = round(v, 2)
         line["sgdet_train_vs_baseline"] = round(
@@ -209,6 +224,7 @@ def main():
     # ---- detector pretraining step (RPN + RoI-head losses + SGD update;
     # reference pretrain_detector.py spends ~1 day here, README.md:236)
     try:
+        _stage("detector_pretrain")
         v = _bench_detector_pretrain()
         line["detector_pretrain_images_per_sec"] = round(v, 2)
         line["detector_pretrain_vs_baseline"] = round(
@@ -220,6 +236,7 @@ def main():
     # bounds the real-host pipeline claim: pipeline = min(compute, link,
     # host_prep * workers). No TPU involved.
     try:
+        _stage("host_prep")
         per_worker, scaled, nthreads = _bench_host_prep()
         line["host_prep_images_per_sec_per_worker"] = round(per_worker, 1)
         line["host_prep_images_per_sec"] = round(scaled, 1)

@@ -176,7 +176,7 @@ def make_sgdet_retry_eval_step(detector, relmodel,
 
 def make_sgdet_train_step(detector, relmodel, config: Config,
                           det_variables, require_overlap: bool = True):
-    """Jitted sgdet training step: frozen detector → rel_assignments →
+    """Sgdet training step: frozen detector → rel_assignments →
     relation-head losses → SGD update of the relation head.
 
     ``det_variables`` stay frozen (main.py:62-63) but are passed to the
@@ -184,14 +184,27 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
     closed-over pytree is baked into the HLO as constants, and ~0.5 GB of
     VGG16 weights as inline constants overflows the compiler (observed:
     remote_compile HTTP 413 on the tunneled toolchain).
+
+    TWO jitted programs, not one: the detector forward runs in its own
+    jit and hands its (stop_gradient'ed) outputs device-resident to the
+    assign+rel-head+update program. On this toolchain, fusing the frozen
+    detector and the relation head into ONE program faults the TPU worker
+    whenever the edge axis is small (bisected 2026-08: the composed
+    program at E=64 or E=256 sampled edges crashes — "kernel fault" — the
+    identical program at E=2450 runs, and the rel head alone at E=64
+    runs). Splitting sidesteps the faulting fusion at zero transfer cost
+    (the boundary is stop_gradient'ed and intermediates never leave the
+    device); measured 142 img/s at B=8 on v5e where the fused program
+    cannot execute at all.
     """
     loss_weights = (config.alpha, config.beta, config.gamma)
 
-    def train_step(state: TrainState, batch: GraphBatch, key, det_vars):
+    det_step = jax.jit(lambda v, im, hw: jax.lax.stop_gradient(
+        {k: x for k, x in detector.apply(v, im, hw, train=False).items()
+         if k in ("boxes", "labels", "mask", "fmap")}))
+
+    def train_step(state: TrainState, batch: GraphBatch, key, det):
         k_rel, k_drop = jax.random.split(key)
-        det = detector.apply(det_vars, batch.images, batch.im_hw,
-                             train=False)
-        det = jax.lax.stop_gradient(det)
         boxes, labels, mask = det["boxes"], det["labels"], det["mask"]
 
         rels, rel_mask = rel_assignments(
@@ -235,7 +248,8 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
     det_variables = jax.device_put(det_variables)
 
     def step(state: TrainState, batch: GraphBatch, key):
-        return jitted(state, batch, key, det_variables)
+        det = det_step(det_variables, batch.images, batch.im_hw)
+        return jitted(state, batch, key, det)
 
     return step
 

@@ -26,6 +26,10 @@ import subprocess
 import sys
 import time
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
 GATES = ("nms_fixpoint", "pallas_roi", "outer_roi", "s2d_stem",
          "vgg_stem_pallas")
 PER_GATE_TIMEOUT = 900
@@ -195,11 +199,12 @@ def main():
     for gate in GATES:
         t0 = time.time()
         try:
+            env = dict(os.environ)
+            env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), gate],
                 capture_output=True, text=True, timeout=PER_GATE_TIMEOUT,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(
-                    __file__))))
+                cwd=ROOT, env=env)
             line = [l for l in proc.stdout.splitlines()
                     if l.startswith("GATE_RESULT ")]
             if proc.returncode == 0 and line:

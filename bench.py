@@ -144,6 +144,19 @@ def main():
     float(metrics["total"])
     pipe_per_sec = BATCH * n_pipe / (time.perf_counter() - t0)
 
+    # measured H2D link bandwidth, reported alongside: the pipeline number
+    # is capped by the remote-TPU tunnel (~25 MB/batch), whose bandwidth
+    # varies by the hour — this field makes a slow-tunnel run
+    # self-explaining instead of looking like a pipeline regression.
+    imgs_u8 = host_batches[0].images
+    jax.device_put(imgs_u8)  # warm
+    t0 = time.perf_counter()
+    n_xfer = 3
+    for _ in range(n_xfer):
+        d = jax.device_put(imgs_u8)
+    float(jnp.asarray(d).reshape(-1)[0])
+    link_mbps = imgs_u8.nbytes * n_xfer / (time.perf_counter() - t0) / 1e6
+
     # ---- sgdet end-to-end eval (detector -> all detection pairs -> IMP):
     # the reference's slowest protocol (~1.4 img/s: "a couple hours" for
     # the 10k-image GQA test set, README.md:243). Guarded so a failure
@@ -184,6 +197,7 @@ def main():
         "pipeline_images_per_sec": round(pipe_per_sec, 2),
         "pipeline_vs_baseline": round(
             pipe_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
+        "h2d_link_mbps": round(link_mbps, 1),
     }
     if sgdet_per_sec is not None:
         line["sgdet_eval_images_per_sec"] = round(sgdet_per_sec, 2)

@@ -76,11 +76,14 @@ class RPNHead(nn.Module):
 
 def generate_proposals(anchors, obj_logits, deltas, im_hw, *,
                        pre_nms_top_n: int, post_nms_top_n: int,
-                       nms_thresh: float = 0.7, min_size: float = 1e-3):
+                       nms_thresh: float = 0.7, min_size: float = 1e-3,
+                       nms_method: str = "sequential", nms_rounds: int = 16):
     """Per-batch proposal generation (torchvision RPN filter_proposals).
 
     anchors (K, 4); obj_logits (B, K); deltas (B, K, 4); im_hw (B, 2).
-    Returns (proposals (B, P, 4), scores (B, P), mask (B, P)).
+    Returns (proposals (B, P, 4), scores (B, P), mask (B, P),
+    nms_converged (B,) — always True except for method="rounds" with a
+    deeper-than-budget suppression chain; see ops/nms.py).
     """
     boxes = decode_boxes(anchors[None], deltas)
     boxes = clip_boxes(boxes, im_hw)
@@ -90,13 +93,22 @@ def generate_proposals(anchors, obj_logits, deltas, im_hw, *,
         hs = b[:, 3] - b[:, 1]
         valid = (ws > min_size) & (hs > min_size)
         k = min(pre_nms_top_n, s.shape[0])
-        top_s, top_i = jax.lax.top_k(jnp.where(valid, s, -jnp.inf), k)
-        idx, mask = nms(b[top_i], top_s, top_s > -jnp.inf, nms_thresh,
-                        post_nms_top_n)
+        # top_k at a 128-lane-aligned width with ranks >= k masked
+        # invalid: identical to top_k(k) (the top k of the sorted k_pad
+        # ARE the top k), but keeps every downstream gather/NMS shape
+        # aligned — this toolchain kernel-faults on the unaligned
+        # k=1000 candidate arrays composed with the rounds NMS
+        # (bisected 2026-08: k=1000 crashes, k=1024 runs).
+        k_pad = min(-(-k // 128) * 128, s.shape[0])
+        top_s, top_i = jax.lax.top_k(jnp.where(valid, s, -jnp.inf), k_pad)
+        nms_valid = (top_s > -jnp.inf) & (jnp.arange(k_pad) < k)
+        idx, mask, conv = nms(b[top_i], top_s, nms_valid, nms_thresh,
+                              post_nms_top_n, method=nms_method,
+                              rounds=nms_rounds, with_converged=True)
         # compose indices instead of chaining gathers: a gather-of-gather
         # output (b[top_i][idx]) generates code that crashes this
         # toolchain's TPU worker (kernel fault, bisected 2026-08)
-        return b[top_i[idx]], top_s[idx], mask
+        return b[top_i[idx]], top_s[idx], mask, conv
 
     return jax.vmap(one)(boxes, obj_logits, im_hw)
 
@@ -104,7 +116,9 @@ def generate_proposals(anchors, obj_logits, deltas, im_hw, *,
 def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
                            im_hw, *, score_thresh: float, nms_thresh: float,
                            detections_per_img: int,
-                           nms_candidates: int = 1024):
+                           nms_candidates: int = 1024,
+                           nms_method: str = "sequential",
+                           nms_rounds: int = 16):
     """torchvision RoIHeads.postprocess_detections, fixed shapes.
 
     class_logits (B, P, C); box_deltas (B, P, C*4); proposals (B, P, 4).
@@ -152,15 +166,19 @@ def postprocess_detections(class_logits, box_deltas, proposals, prop_mask,
         # per-class NMS via the coordinate-offset trick
         offset = clbl.astype(jnp.float32)[:, None] * (
             jnp.max(hw) + 1000.0)
-        idx, mask = nms(b[ci] + offset, cs, cvalid, nms_thresh, D)
+        idx, mask, conv = nms(b[ci] + offset, cs, cvalid, nms_thresh, D,
+                              method=nms_method, rounds=nms_rounds,
+                              with_converged=True)
         # composed indices, not chained gathers (see generate_proposals)
         fi = ci[idx]
-        return b[fi], lbl[fi], jnp.where(mask, cs[idx], 0.0), mask, n_cand
+        return (b[fi], lbl[fi], jnp.where(mask, cs[idx], 0.0), mask,
+                n_cand, conv)
 
-    boxes, labels, det_scores, mask, n_candidates = jax.vmap(one)(
+    boxes, labels, det_scores, mask, n_candidates, converged = jax.vmap(one)(
         boxes_all, scores, prop_mask, im_hw)
     return {"boxes": boxes, "labels": labels, "scores": det_scores,
-            "mask": mask, "n_candidates": n_candidates}
+            "mask": mask, "n_candidates": n_candidates,
+            "nms_converged": converged}
 
 
 class FasterRCNNVGG(nn.Module):
@@ -180,6 +198,12 @@ class FasterRCNNVGG(nn.Module):
     # postprocess_detections)
     nms_candidates: int = 1024
     rpn_nms_candidates: int = 2048
+    # NMS algorithm (ops/nms.py): "rounds" breaks the greedy scalar chain
+    # into monotone vector rounds (~5x on v5e) and reports per-image
+    # convergence in dets["nms_converged"]; callers escalate to
+    # nms_method="sequential" on a False flag (sgdet_eval_with_retry does).
+    nms_method: str = "rounds"
+    nms_rounds: int = 16
     dtype: Any = jnp.bfloat16
 
     def features(self, images):
@@ -196,11 +220,12 @@ class FasterRCNNVGG(nn.Module):
 
         obj_logits, rpn_deltas = RPNHead(num_anchors=A, dtype=self.dtype,
                                          name="rpn")(fmap)
-        proposals, prop_scores, prop_mask = generate_proposals(
+        proposals, prop_scores, prop_mask, rpn_conv = generate_proposals(
             anchors, obj_logits, rpn_deltas, im_hw,
             pre_nms_top_n=self.rpn_pre_nms_top_n,
             post_nms_top_n=self.rpn_post_nms_top_n,
-            nms_thresh=self.rpn_nms_thresh)
+            nms_thresh=self.rpn_nms_thresh,
+            nms_method=self.nms_method, nms_rounds=self.nms_rounds)
 
         pooled = roi_align(fmap, proposals,
                            spatial_scale=1.0 / self.stride,
@@ -220,7 +245,9 @@ class FasterRCNNVGG(nn.Module):
                           else score_thresh),
             nms_thresh=self.nms_thresh,
             detections_per_img=self.detections_per_img,
-            nms_candidates=self.nms_candidates)
+            nms_candidates=self.nms_candidates,
+            nms_method=self.nms_method, nms_rounds=self.nms_rounds)
+        dets["nms_converged"] = dets["nms_converged"] & rpn_conv
         dets.update({
             "fmap": fmap, "proposals": proposals, "prop_mask": prop_mask,
             "rpn_obj_logits": obj_logits, "rpn_deltas": rpn_deltas,
@@ -256,6 +283,9 @@ class FasterRCNNFPN(nn.Module):
     # postprocess_detections)
     nms_candidates: int = 1024
     rpn_nms_candidates: int = 2048
+    # see FasterRCNNVGG.nms_method
+    nms_method: str = "rounds"
+    nms_rounds: int = 16
     dtype: Any = jnp.bfloat16
 
     LEVELS = ("p2", "p3", "p4", "p5", "pool")
@@ -310,13 +340,17 @@ class FasterRCNNFPN(nn.Module):
             clv = lv[ci]
             # level-separated NMS via coordinate offsets (batched_nms)
             offset = clv[:, None] * (jnp.max(hw) + 1000.0)
-            idx, mask = nms(b[ci] + offset, cs, cs > -jnp.inf,
-                            self.rpn_nms_thresh, self.rpn_post_nms_top_n)
+            idx, mask, conv = nms(b[ci] + offset, cs, cs > -jnp.inf,
+                                  self.rpn_nms_thresh,
+                                  self.rpn_post_nms_top_n,
+                                  method=self.nms_method,
+                                  rounds=self.nms_rounds,
+                                  with_converged=True)
             # composed indices, not chained gathers (see generate_proposals)
-            return b[ci[idx]], mask
+            return b[ci[idx]], mask, conv
 
-        proposals, prop_mask = jax.vmap(one)(cat_boxes, cat_scores,
-                                             cat_lvl, im_hw)
+        proposals, prop_mask, rpn_conv = jax.vmap(one)(cat_boxes, cat_scores,
+                                                       cat_lvl, im_hw)
 
         pooled = multiscale_roi_align(
             [pyramid[l] for l in self.LEVELS[:4]], proposals,
@@ -335,7 +369,9 @@ class FasterRCNNFPN(nn.Module):
                           else score_thresh),
             nms_thresh=self.nms_thresh,
             detections_per_img=self.detections_per_img,
-            nms_candidates=self.nms_candidates)
+            nms_candidates=self.nms_candidates,
+            nms_method=self.nms_method, nms_rounds=self.nms_rounds)
+        dets["nms_converged"] = dets["nms_converged"] & rpn_conv
         dets.update({
             # the relation head's global feature map: last pyramid level
             "fmap": pyramid["pool"], "pyramid": pyramid,

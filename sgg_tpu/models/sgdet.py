@@ -92,6 +92,7 @@ def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
             "rel_dists": jax.nn.softmax(out["rel_logits"], axis=-1),
             "n_det": mask.sum(axis=1),
             "n_nms_candidates": det["n_candidates"],
+            "nms_converged": det["nms_converged"],
         })
         return _zero_padded(out, mask, pair_mask)
 
@@ -168,6 +169,9 @@ def make_sgdet_retry_eval_step(detector, relmodel,
             # pre-cap NMS candidate count (postprocess_detections): callers
             # compare against detector.nms_candidates to detect cap overflow
             "n_nms_candidates": det["n_candidates"],
+            # per-image rounds-NMS convergence (ops/nms.py): callers re-run
+            # with an exact NMS method when any image is False
+            "nms_converged": det["nms_converged"],
         })
         return _zero_padded(out, mask, pair_mask)
 
@@ -277,18 +281,21 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
     ``max_pairs`` valid pairs re-run through the dense-shape step, so the
     result is always exact.
 
-    Both exactness caps are checked and escalated here:
+    All three exactness caps are checked and escalated here:
 
     * pair budget: ``pair_count > max_pairs`` re-runs dense-shape;
     * NMS candidate cap: ``n_nms_candidates > detector.nms_candidates``
       (more candidates cleared the lowest threshold than the top-M
       prefilter kept — see ``postprocess_detections``) re-runs with the
       cap doubled until it covers, restoring the prefix-equivalence
-      precondition.
+      precondition;
+    * rounds-NMS budget: any False in ``nms_converged`` (a suppression
+      chain deeper than ``detector.nms_rounds`` — see ops/nms.py) re-runs
+      with ``nms_method="sequential"``, which is exact unconditionally.
 
     Overflow/fallback rates accumulate in ``sgg_tpu.utils.counters``
     (``sgdet_batches``, ``sgdet_pair_overflow``,
-    ``sgdet_nms_cand_overflow``)."""
+    ``sgdet_nms_cand_overflow``, ``sgdet_nms_unconverged``)."""
     import numpy as np
 
     from sgg_tpu.utils import counters
@@ -297,7 +304,8 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
 
     def get_step(det, mp):
         key = ("retry", tuple(thresholds), require_overlap, mp,
-               getattr(det, "nms_candidates", None))
+               getattr(det, "nms_candidates", None),
+               getattr(det, "nms_method", None))
         if key not in cache:
             cache[key] = make_sgdet_retry_eval_step(
                 det, relmodel, thresholds=thresholds,
@@ -306,6 +314,15 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
 
     counters.bump("sgdet_batches")
     out = get_step(detector, max_pairs)(variables, batch)
+
+    # rounds-NMS convergence escalation: an unconverged image's keep set
+    # is not (provably) the greedy solution — re-run with the
+    # unconditionally exact sequential method.
+    if ("nms_converged" in out
+            and not bool(np.all(np.asarray(out["nms_converged"])))):
+        counters.bump("sgdet_nms_unconverged")
+        detector = detector.clone(nms_method="sequential")
+        out = get_step(detector, max_pairs)(variables, batch)
 
     # NMS candidate-cap escalation (exactness precondition of the retry
     # step's prefix argument): double M until it covers the batch.

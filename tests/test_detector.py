@@ -64,6 +64,79 @@ def test_nms_fixpoint_matches_sequential():
                                       np.asarray(b_idx)[np.asarray(b_mask)])
 
 
+def test_nms_chunked_matches_sequential():
+    """The chunked greedy (blocked loop + unrolled in-chunk resolve) equals
+    the sequential fori_loop greedy bit-for-bit, including when the chunk
+    width doesn't divide N and on suppression-chain-heavy sets."""
+    rng = np.random.RandomState(11)
+    for n, spread, chunk in ((64, 30.0, 16), (200, 15.0, 64),
+                             (200, 60.0, 32), (37, 10.0, 16),
+                             (128, 8.0, 128)):
+        boxes = rng.rand(n, 4).astype(np.float32) * spread
+        boxes[:, 2:] += boxes[:, :2] + rng.rand(n, 2).astype(np.float32) * 20
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        a_idx, a_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.4, n,
+                            method="chunked", chunk=chunk)
+        b_idx, b_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.4, n,
+                            method="sequential")
+        np.testing.assert_array_equal(np.asarray(a_mask), np.asarray(b_mask))
+        np.testing.assert_array_equal(np.asarray(a_idx)[np.asarray(a_mask)],
+                                      np.asarray(b_idx)[np.asarray(b_mask)])
+
+
+def test_nms_rounds_matches_sequential_when_converged():
+    """The monotone-rounds NMS equals the sequential greedy bit-for-bit
+    whenever its converged flag is True."""
+    rng = np.random.RandomState(3)
+    for n, spread in ((64, 30.0), (200, 15.0), (200, 60.0)):
+        boxes = rng.rand(n, 4).astype(np.float32) * spread
+        boxes[:, 2:] += boxes[:, :2] + rng.rand(n, 2).astype(np.float32) * 20
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        a_idx, a_mask, conv = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(valid), 0.4, n,
+                                  method="rounds", rounds=32,
+                                  with_converged=True)
+        assert bool(conv)
+        b_idx, b_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.4, n,
+                            method="sequential")
+        np.testing.assert_array_equal(np.asarray(a_mask), np.asarray(b_mask))
+        np.testing.assert_array_equal(np.asarray(a_idx)[np.asarray(a_mask)],
+                                      np.asarray(b_idx)[np.asarray(b_mask)])
+
+
+def test_nms_rounds_flags_deep_chain_as_unconverged():
+    """A suppression chain deeper than the round budget must report
+    converged=False (the caller's escalation signal): boxes in a line,
+    each overlapping only its successor, descending scores — the greedy
+    keep-decision of box 2k needs k rounds."""
+    n = 12
+    boxes = np.stack([
+        np.arange(n, dtype=np.float32) * 6.0,          # x1, 60% overlap
+        np.zeros(n, np.float32),
+        np.arange(n, dtype=np.float32) * 6.0 + 15.0,   # x2 (w=15)
+        np.full(n, 10.0, np.float32)], axis=1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    _, _, conv = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                     jnp.ones(n, bool), 0.3, n,
+                     method="rounds", rounds=2, with_converged=True)
+    assert not bool(conv)
+    # with enough rounds it converges and matches sequential
+    a_idx, a_mask, conv = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.ones(n, bool), 0.3, n,
+                              method="rounds", rounds=n, with_converged=True)
+    assert bool(conv)
+    b_idx, b_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.ones(n, bool), 0.3, n, method="sequential")
+    np.testing.assert_array_equal(np.asarray(a_mask), np.asarray(b_mask))
+    np.testing.assert_array_equal(np.asarray(a_idx)[np.asarray(a_mask)],
+                                  np.asarray(b_idx)[np.asarray(b_mask)])
+
+
 def test_nms_respects_validity_and_max_out():
     boxes = np.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
                        np.float32)
@@ -174,10 +247,11 @@ def test_generate_proposals_clip_and_shapes():
     logits = jnp.asarray(rng.randn(1, K), jnp.float32)
     deltas = jnp.asarray(rng.randn(1, K, 4) * 0.1, jnp.float32)
     im_hw = jnp.asarray([[50.0, 50.0]])
-    props, scores, mask = generate_proposals(
+    props, scores, mask, conv = generate_proposals(
         anchors, logits, deltas, im_hw, pre_nms_top_n=40,
         post_nms_top_n=16, nms_thresh=0.7)
     assert props.shape == (1, 16, 4)
+    assert bool(np.all(np.asarray(conv)))
     p = np.asarray(props)[np.asarray(mask)]
     assert (p >= 0).all() and (p <= 50).all()
     s = np.asarray(scores)[np.asarray(mask)]

@@ -42,9 +42,9 @@ def make_detector_train_step(detector, config):
                 out["class_logits"], out["box_deltas"], batch.boxes,
                 batch.classes, batch.node_mask))
             total = sum(jnp.asarray(v) for v in losses.values())
-            return total, losses
+            return total, (losses, out["nms_converged"])
 
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, nms_conv)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
@@ -53,6 +53,11 @@ def make_detector_train_step(detector, config):
                               opt_state=opt_state)
         metrics = dict(losses)
         metrics["total"] = total
+        # rounds-NMS convergence monitor (ops/nms.py): 1.0 unless a
+        # proposal suppression chain exceeded the round budget, in which
+        # case that step's proposal set is not provably the greedy one —
+        # surfaced with the loss readback so it can't drift silently.
+        metrics["nms_converged_frac"] = nms_conv.astype(jnp.float32).mean()
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

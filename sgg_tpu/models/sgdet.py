@@ -205,7 +205,7 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
 
     det_step = jax.jit(lambda v, im, hw: jax.lax.stop_gradient(
         {k: x for k, x in detector.apply(v, im, hw, train=False).items()
-         if k in ("boxes", "labels", "mask", "fmap")}))
+         if k in ("boxes", "labels", "mask", "fmap", "nms_converged")}))
 
     def train_step(state: TrainState, batch: GraphBatch, key, det):
         k_rel, k_drop = jax.random.split(key)
@@ -246,6 +246,11 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
         state = state.replace(batch_stats=mutated["batch_stats"])
         metrics = dict(losses)
         metrics["total"] = total
+        # rounds-NMS convergence monitor (see pretrain_detector.py): a
+        # value < 1 means this step's detections are not provably the
+        # greedy NMS solution — surfaced with the loss readback.
+        metrics["nms_converged_frac"] = det[
+            "nms_converged"].astype(jnp.float32).mean()
         return state, metrics
 
     jitted = jax.jit(train_step, donate_argnums=(0,))

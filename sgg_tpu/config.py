@@ -111,6 +111,11 @@ class Config:
     image_format: str = "uint8"
     # Data-parallel mesh axis name.
     dp_axis: str = "data"
+    # Frozen-trunk feature cache directory (data/feature_cache.py): extract
+    # trunk fmaps once (both flip orientations for train splits), then
+    # train/eval the heads from the cache — the trunk (~46% of the step)
+    # never re-runs. predcls/sgcls with the vgg16 backbone only. None = off.
+    feature_cache: Optional[str] = None
 
     # Reproducibility metadata (reference config.py:52-60), filled by
     # __post_init__.
@@ -163,6 +168,15 @@ class Config:
             assert len(self.ganlosses) > 0, (
                 "at least one GAN loss must be specified to train GAN", self.ganlosses)
         assert self.max_nodes >= 2 and self.max_edges >= 1
+        if self.feature_cache is not None:
+            assert self.mode in ("predcls", "sgcls"), (
+                "feature_cache accelerates the frozen-trunk modes only "
+                "(sgdet runs the detector end-to-end)", self.mode)
+            assert self.backbone == "vgg16", (
+                "feature_cache caches the vgg16 trunk", self.backbone)
+            assert not self.gan, (
+                "feature_cache + GAN not supported: the GAN step consumes "
+                "the live feature map")
 
     @property
     def num_mp_edges(self) -> int:
@@ -243,6 +257,11 @@ def setup_parser() -> ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("-image_format", dest="image_format", type=str,
                    default="uint8", choices=["uint8", "float32"])
+    p.add_argument("-feature_cache", dest="feature_cache", type=str,
+                   default=None,
+                   help="directory for the frozen-trunk feature cache: "
+                        "extract trunk fmaps once, then train/eval the "
+                        "heads from the cache (predcls/sgcls, vgg16)")
     return p
 
 

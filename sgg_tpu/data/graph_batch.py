@@ -39,6 +39,9 @@ class GraphBatch:
         Carried for exported prediction artifacts — the reference returns
         ``rm_box_priors_org`` in original pixels
         (rel_model_base.py:237-240). None when unknown (factor 1).
+      fmaps: optional (B, h, w, C) precomputed trunk feature maps (the
+        frozen-trunk feature cache, data/feature_cache.py); when set,
+        ``images`` is None and model steps skip the trunk.
     """
 
     images: Optional[jnp.ndarray]
@@ -49,6 +52,7 @@ class GraphBatch:
     rels: jnp.ndarray
     rel_mask: jnp.ndarray
     im_scale_org: Optional[jnp.ndarray] = None
+    fmaps: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:

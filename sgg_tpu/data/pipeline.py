@@ -41,10 +41,48 @@ def load_image_u8(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), np.uint8)
 
 
+def content_size(orig_h: int, orig_w: int, im_scale: int = IM_SCALE):
+    """(content_h, content_w, scale) of the resized image inside the padded
+    square canvas (visual_genome.py:377-455 resize semantics)."""
+    s = im_scale / max(orig_h, orig_w)
+    ch, cw = int(round(orig_h * s)), int(round(orig_w * s))
+    return min(ch, im_scale), min(cw, im_scale), s
+
+
+def prepare_boxes(boxes: np.ndarray, rels: np.ndarray, box_coordinates: str,
+                  is_train: bool, rng: np.random.RandomState,
+                  ch: int, cw: int, s: float, im_scale: int = IM_SCALE,
+                  filter_duplicates: bool = True,
+                  force_flip: "Optional[bool]" = None):
+    """Box scale/clip/flip + duplicate-rel sampling (the non-image half of
+    ``prepare_example``; shared with the feature-cache pipeline, which has
+    no decoded image). RNG call order matches ``prepare_example`` exactly:
+    flip draw first, then duplicate filtering."""
+    boxes = boxes.astype(np.float32).copy()
+    if box_coordinates == "box_scale":
+        boxes *= im_scale / BOX_SCALE
+    else:
+        boxes *= s
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
+
+    flipped = (is_train and rng.rand() > 0.5) if force_flip is None \
+        else bool(force_flip)
+    if flipped:
+        x1 = cw - boxes[:, 2].copy()
+        x2 = cw - boxes[:, 0].copy()
+        boxes[:, 0], boxes[:, 2] = x1, x2
+
+    if is_train and filter_duplicates and len(rels):
+        rels = filter_duplicate_rels(rels, rng)
+    return boxes, rels, flipped
+
+
 def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
                     box_coordinates: str, is_train: bool,
                     rng: np.random.RandomState, im_scale: int = IM_SCALE,
-                    filter_duplicates: bool = True, uint8: bool = False):
+                    filter_duplicates: bool = True, uint8: bool = False,
+                    force_flip: "Optional[bool]" = None):
     """One example: resize+normalize+pad image, scale+clip+flip boxes.
 
     Returns (padded image (S, S, 3), boxes in padded-frame pixels, rels,
@@ -57,28 +95,17 @@ def prepare_example(image: np.ndarray, boxes: np.ndarray, rels: np.ndarray,
     uint8 *input* image on that path takes the native one-pass prep
     (``sgg_tpu/native/image_prep.cpp``: triangle resize + flip + mean-padded
     canvas, no float round trips); PIL otherwise.
+
+    ``force_flip`` pins the horizontal-flip decision (feature-cache
+    extraction renders both orientations deterministically); None keeps the
+    training-time random draw.
     """
     h, w = image.shape[:2]
-    s = im_scale / max(h, w)
-    ch, cw = int(round(h * s)), int(round(w * s))
-    ch, cw = min(ch, im_scale), min(cw, im_scale)
-
-    boxes = boxes.astype(np.float32).copy()
-    if box_coordinates == "box_scale":
-        boxes *= im_scale / BOX_SCALE
-    else:
-        boxes *= s
-    boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
-    boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
-
-    flipped = is_train and rng.rand() > 0.5
-    if flipped:
-        x1 = cw - boxes[:, 2].copy()
-        x2 = cw - boxes[:, 0].copy()
-        boxes[:, 0], boxes[:, 2] = x1, x2
-
-    if is_train and filter_duplicates and len(rels):
-        rels = filter_duplicate_rels(rels, rng)
+    ch, cw, s = content_size(h, w, im_scale)
+    boxes, rels, flipped = prepare_boxes(
+        boxes, rels, box_coordinates, is_train, rng, ch, cw, s,
+        im_scale=im_scale, filter_duplicates=filter_duplicates,
+        force_flip=force_flip)
 
     mean_u8 = (IMAGENET_MEAN * 255).astype(np.uint8)
     canvas = None
@@ -148,6 +175,20 @@ def to_image_dtype(batch: GraphBatch, dtype: str) -> GraphBatch:
     return dataclasses.replace(batch, images=images)
 
 
+def load_source_image(dataset, idx: int, image_format: str) -> np.ndarray:
+    """The raw image a dataset example comes from — decoded file when the
+    dataset has filenames, else a blank canvas spanning the boxes' extent
+    (file-less synthetic/test datasets). Shared by ``BatchLoader`` and the
+    feature-cache extractor so both see identical pixels."""
+    import os
+    if dataset.filenames:
+        path = os.path.join(dataset.images_dir, dataset.filenames[idx])
+        return (load_image_u8(path) if image_format == "uint8"
+                else load_image(path))
+    ext = max(float(dataset.gt_boxes[idx].max()), 1.0)
+    return np.zeros((int(ext), int(ext), 3), np.float32)
+
+
 class BatchLoader:
     """Iterable over padded GraphBatches with threaded decode + prefetch."""
 
@@ -156,7 +197,8 @@ class BatchLoader:
                  drop_last: Optional[bool] = None, num_workers: int = 4,
                  prefetch: int = 2, seed: int = 0,
                  with_images: bool = True, im_scale: int = IM_SCALE,
-                 buckets=None, image_format: str = "float32"):
+                 buckets=None, image_format: str = "float32",
+                 feature_cache=None):
         """``buckets``: optional ascending list of (max_nodes, max_edges)
         shape buckets. Images are grouped into the smallest bucket whose
         node capacity fits them, so small graphs stop paying the global
@@ -179,6 +221,18 @@ class BatchLoader:
         # on device (4x less H2D traffic)
         assert image_format in ("float32", "uint8"), image_format
         self.image_format = image_format
+        # Frozen-trunk feature cache (data/feature_cache.py): batches carry
+        # precomputed trunk fmaps instead of images — the trunk never runs.
+        self.feature_cache = None
+        if feature_cache is not None:
+            from sgg_tpu.data.feature_cache import FeatureCache
+            self.feature_cache = (feature_cache
+                                  if isinstance(feature_cache, FeatureCache)
+                                  else FeatureCache(feature_cache))
+            assert self.feature_cache.num_images == len(dataset), (
+                "feature cache / dataset size mismatch: "
+                f"{self.feature_cache.num_images} vs {len(dataset)}")
+            assert self.feature_cache.im_scale == im_scale
         self._epoch = 0
 
     def __len__(self):
@@ -187,13 +241,10 @@ class BatchLoader:
             -(-n // self.batch_size)
 
     def _make_example(self, idx: int, rng: np.random.RandomState):
-        import os
+        if self.feature_cache is not None:
+            return self._make_example_cached(idx, rng)
         if self.with_images and self.ds.filenames:
-            path = os.path.join(self.ds.images_dir, self.ds.filenames[idx])
-            # uint8 transfer format -> keep the decode uint8 so the native
-            # one-pass prep applies
-            img = (load_image_u8(path) if self.image_format == "uint8"
-                   else load_image(path))
+            img = load_source_image(self.ds, idx, self.image_format)
         else:
             # feature-level / test operation: synthesize a blank canvas with
             # the boxes' extent as the "image"
@@ -209,21 +260,41 @@ class BatchLoader:
             filter_duplicates=self.ds.filter_duplicates,
             uint8=self.image_format == "uint8") + (scale_org,)
 
+    def _make_example_cached(self, idx: int, rng: np.random.RandomState):
+        """Feature-cache path: identical box/rel/flip semantics, but the
+        "pixels" are the stored trunk feature map of the drawn
+        orientation."""
+        oh, ow = self.feature_cache.orig_hw(idx)
+        ch, cw, s = content_size(oh, ow, self.im_scale)
+        boxes, rels, flipped = prepare_boxes(
+            self.ds.gt_boxes[idx], self.ds.relationships[idx],
+            self.ds.box_coordinates, self.ds.is_train, rng, ch, cw, s,
+            im_scale=self.im_scale,
+            filter_duplicates=self.ds.filter_duplicates)
+        fmap = self.feature_cache.read(idx, flipped)
+        scale_org = max(oh, ow) / self.im_scale
+        return fmap, boxes, rels, (ch, cw), scale_org
+
     def _assemble(self, indices, rng, max_nodes=None,
                   max_edges=None) -> GraphBatch:
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             examples = list(pool.map(
                 lambda i: self._make_example(i, rng), indices))
-        images = np.stack([e[0] for e in examples])
+        stacked = np.stack([e[0] for e in examples])
+        cached = self.feature_cache is not None
         im_hw = np.asarray([e[3] for e in examples], np.float32)
-        return pack_ragged(
+        batch = pack_ragged(
             [e[1] for e in examples],
             [self.ds.gt_classes[i] for i in indices],
             [e[2] for e in examples],
             max_nodes=max_nodes or self.max_nodes,
             max_edges=max_edges or self.max_edges,
-            images=images, im_hw=im_hw,
+            images=None if cached else stacked, im_hw=im_hw,
             im_scale_org=np.asarray([e[4] for e in examples], np.float32))
+        if cached:
+            import dataclasses
+            batch = dataclasses.replace(batch, fmaps=stacked)
+        return batch
 
     def _bucket_for(self, idx: int):
         n = len(self.ds.gt_classes[idx])

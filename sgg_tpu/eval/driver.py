@@ -60,7 +60,8 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
               with_images: bool = True, collect_entries: bool = False,
               detector=None, det_variables=None,
               log_fn=None, verbose: bool = True,
-              pair_ladder=None, mesh=None) -> Dict[str, float]:
+              pair_ladder=None, mesh=None,
+              feature_cache=None) -> Dict[str, float]:
     """Evaluate one split of ``model`` (a RelModelIMP-compatible module).
 
     Returns a flat results dict ``{eval_m}/{name}_R@K_{GC|NOGC}`` etc.
@@ -74,6 +75,10 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
     batch the smallest rung covering every image's valid pairs is used
     (exact — see ``compact_pairs``); batches no rung covers run dense.
     Pass ``[None]`` to disable compaction.
+
+    ``feature_cache``: optional frozen-trunk cache for this split
+    (``data/feature_cache.py``) — batches then carry precomputed fmaps and
+    the trunk never runs (exact; eval never flips).
 
     ``mesh``: a ``jax.sharding.Mesh`` to data-parallelize eval over —
     variables are replicated and each batch's leading axis sharded (the
@@ -154,7 +159,8 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         loader = BatchLoader(dataset, batch_size=eval_batch_size,
                              max_nodes=eval_nodes,
                              max_edges=config.max_edges, shuffle=False,
-                             drop_last=False, with_images=with_images)
+                             drop_last=False, with_images=with_images,
+                             feature_cache=feature_cache)
         img_base = 0
         for b_i, batch in enumerate(loader):
             if n_batches > -1 and b_i >= n_batches:

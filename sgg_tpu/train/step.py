@@ -47,8 +47,8 @@ def make_train_step(model, config: Config):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch.images, batch.boxes, batch.classes, pairs, pair_mask,
-                im_hw=batch.im_hw, train=True, rngs={"dropout": k_dropout},
-                mutable=["batch_stats"])
+                fmap=batch.fmaps, im_hw=batch.im_hw, train=True,
+                rngs={"dropout": k_dropout}, mutable=["batch_stats"])
             losses = {}
             losses.update(node_losses(out["obj_logits"], batch.classes,
                                       batch.node_mask))
@@ -95,8 +95,8 @@ def make_eval_step(model, mode: str = None, max_pairs: int = None):
         if max_pairs is not None and max_pairs < pairs.shape[1]:
             pairs, pair_mask, _ = compact_pairs(pairs, pair_mask, max_pairs)
         out = model.apply(variables, batch.images, batch.boxes, batch.classes,
-                          pairs, pair_mask, im_hw=batch.im_hw, train=False,
-                          mode=mode)
+                          pairs, pair_mask, fmap=batch.fmaps,
+                          im_hw=batch.im_hw, train=False, mode=mode)
         out["pairs"] = pairs
         out["pair_mask"] = pair_mask
         out["rel_dists"] = jax.nn.softmax(out["rel_logits"], axis=-1)

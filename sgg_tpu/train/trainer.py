@@ -110,6 +110,7 @@ class Trainer:
         self.gan_state = None
         self.perturber = None
         self.feature_bank = None
+        self._feature_caches = {}
         if config.gan:
             self._init_gan(gan_model)
 
@@ -253,6 +254,61 @@ class Trainer:
                 "batch_stats": self.state.batch_stats}
 
     # ------------------------------------------------------------------
+    def _feature_cache_for(self, split_name: str, dataset):
+        """Frozen-trunk feature cache for one split (config.feature_cache).
+
+        Extracts on first use (one trunk pass per image x orientation);
+        re-extracts if the stored trunk fingerprint doesn't match the
+        current (possibly checkpoint-restored) trunk weights. See
+        data/feature_cache.py — no reference analogue; this is the
+        TPU-native answer to the reference recomputing the frozen VGG
+        forward for every one of 57k images x 20 epochs."""
+        cfg = self.config
+        if not cfg.feature_cache or len(dataset) == 0:
+            return None
+        cache = self._feature_caches.get(split_name)
+        if cache is not None:
+            return cache
+        from sgg_tpu.data.feature_cache import (FeatureCache,
+                                                extract_trunk_cache,
+                                                params_fingerprint,
+                                                split_cache_path)
+        path = split_cache_path(cfg.feature_cache, split_name)
+        fp = params_fingerprint(
+            jax.tree_util.tree_map(np.asarray, self.state.params["trunk"]))
+        if os.path.exists(path):
+            try:
+                cache = FeatureCache(path)
+                if cache.complete() and cache.fingerprint == fp:
+                    self._feature_caches[split_name] = cache
+                    return cache
+                print(f"[feature_cache] {path} stale "
+                      f"(incomplete or trunk weights changed) — "
+                      f"re-extracting")
+                cache.close()
+            except Exception as e:  # corrupt/old-version file
+                print(f"[feature_cache] {path} unreadable ({e}) — "
+                      f"re-extracting")
+        import jax.numpy as jnp
+        from sgg_tpu.models.backbone import VGG16Trunk
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+        trunk = VGG16Trunk(dtype=dtype)
+        tvars = {"params": jax.tree_util.tree_map(
+            np.asarray, self.state.params["trunk"])}
+        trunk_fn = jax.jit(lambda x: trunk.apply(tvars, x))
+        t0 = time.time()
+        extract_trunk_cache(
+            path, dataset, trunk_fn,
+            batch_size=min(8, max(len(dataset), 1)),
+            image_format=cfg.image_format, fingerprint=fp)
+        print(f"[feature_cache] extracted {split_name} "
+              f"({len(dataset)} images) in {time.time() - t0:.1f}s")
+        cache = FeatureCache(path)
+        self._feature_caches[split_name] = cache
+        return cache
+
+    # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         """One epoch (reference train_epoch, main.py:196-236)."""
         cfg = self.config
@@ -261,7 +317,9 @@ class Trainer:
                              max_edges=cfg.max_edges, seed=cfg.seed,
                              num_workers=cfg.num_workers,
                              with_images=self.with_images,
-                             image_format=cfg.image_format)
+                             image_format=cfg.image_format,
+                             feature_cache=self._feature_cache_for(
+                                 "train", self.train_data))
         loader._epoch = epoch
         from sgg_tpu.data.pipeline import device_prefetch, to_image_dtype
         sharding = None
@@ -337,6 +395,7 @@ class Trainer:
                 train=self.train_data, n_batches=n_batches,
                 with_images=self.with_images, verbose=verbose,
                 collect_entries=collect_entries,
+                feature_cache=self._feature_cache_for(name, ds),
                 detector=self.detector, det_variables=self.det_variables,
                 # eval results go to W&B as summaries, repeated at test time
                 # to survive the trailing-sync loss (reference lib/eval.py:

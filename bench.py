@@ -144,6 +144,33 @@ def main():
     float(metrics["total"])
     pipe_per_sec = BATCH * n_pipe / (time.perf_counter() - t0)
 
+    # ---- frozen-trunk feature-cache training step (data/feature_cache.py,
+    # no reference analogue): the trunk output is precomputed once per
+    # image x flip, so the step starts at RoIAlign. Same state/step
+    # function; the batch carries fmaps instead of images. The fmap here is
+    # the REAL trunk output of the bench batch, so head compute is
+    # realistic.
+    errors = {}
+    cached_per_sec = None
+    try:
+        _stage("sgcls_train_cached")
+        from sgg_tpu.models.backbone import VGG16Trunk
+        trunk = VGG16Trunk(dtype=jnp.bfloat16)
+        fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
+            {"params": state.params["trunk"]}, gb.images)
+        gb_cached = dataclasses.replace(gb, images=None, fmaps=fmaps)
+        for i in range(WARMUP):
+            state, metrics = step(state, gb_cached, jax.random.key(200 + i))
+        float(metrics["total"])
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, metrics = step(state, gb_cached, jax.random.key(300 + i))
+        float(metrics["total"])
+        cached_per_sec = BATCH * STEPS / (time.perf_counter() - t0)
+        assert np.isfinite(float(metrics["total"]))
+    except Exception as e:
+        errors["sgcls_train_cached_error"] = repr(e)[:120]
+
     # measured H2D link bandwidth, reported alongside: the pipeline number
     # is capped by the remote-TPU tunnel (~25 MB/batch), whose bandwidth
     # varies by the hour — this field makes a slow-tunnel run
@@ -161,7 +188,6 @@ def main():
     # the reference's slowest protocol (~1.4 img/s: "a couple hours" for
     # the 10k-image GQA test set, README.md:243). Guarded so a failure
     # cannot break the one-JSON-line contract.
-    errors = {}
     sgdet_per_sec = sgdet_caps = None
     try:
         _stage("sgdet_eval")
@@ -199,6 +225,13 @@ def main():
             pipe_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
         "h2d_link_mbps": round(link_mbps, 1),
     }
+    if cached_per_sec is not None:
+        # frozen-trunk feature-cache step (extract once, train 20 epochs
+        # from the cache; the reference recomputes the frozen VGG forward
+        # every step)
+        line["sgcls_train_cached_images_per_sec"] = round(cached_per_sec, 2)
+        line["sgcls_train_cached_vs_baseline"] = round(
+            cached_per_sec / REFERENCE_IMAGES_PER_SEC, 2)
     if sgdet_per_sec is not None:
         line["sgdet_eval_images_per_sec"] = round(sgdet_per_sec, 2)
         line["sgdet_eval_vs_baseline"] = round(

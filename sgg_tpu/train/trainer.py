@@ -289,6 +289,23 @@ class Trainer:
             except Exception as e:  # corrupt/old-version file
                 print(f"[feature_cache] {path} unreadable ({e}) — "
                       f"re-extracting")
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: only process 0 extracts (the cache dir is
+            # shared); the rest poll for completion
+            deadline = time.time() + 3600
+            while time.time() < deadline:
+                try:
+                    cache = FeatureCache(path)
+                    if cache.complete() and cache.fingerprint == fp:
+                        self._feature_caches[split_name] = cache
+                        return cache
+                    cache.close()
+                except Exception:
+                    pass
+                time.sleep(5.0)
+            raise TimeoutError(
+                f"process {jax.process_index()}: feature cache {path} "
+                f"not produced by process 0 within 1h")
         import jax.numpy as jnp
         from sgg_tpu.models.backbone import VGG16Trunk
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \

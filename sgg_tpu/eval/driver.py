@@ -156,11 +156,17 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
     for m in eval_modes:
         if m not in evaluators:
             continue
+        from sgg_tpu.constants import IM_SCALE
         loader = BatchLoader(dataset, batch_size=eval_batch_size,
                              max_nodes=eval_nodes,
                              max_edges=config.max_edges, shuffle=False,
                              drop_last=False, with_images=with_images,
-                             feature_cache=feature_cache)
+                             feature_cache=feature_cache,
+                             # a cache knows the canvas scale it was
+                             # extracted at (tests use small canvases)
+                             im_scale=(feature_cache.im_scale
+                                       if feature_cache is not None
+                                       else IM_SCALE))
         img_base = 0
         for b_i, batch in enumerate(loader):
             if n_batches > -1 and b_i >= n_batches:

@@ -198,6 +198,43 @@ def test_model_step_from_cached_fmaps(tmp_path):
     cache.close()
 
 
+def test_sharded_cached_eval_matches_single_device(tmp_path):
+    """val_epoch from the feature cache over the 8-device DP mesh ==
+    single-device cached run (shard_batch must handle the fmaps leaf)."""
+    from sgg_tpu.config import Config
+    from sgg_tpu.eval.driver import val_epoch
+    from sgg_tpu.models.relhead import RelModelIMP
+    from sgg_tpu.parallel import make_mesh
+
+    ds = _dataset(tmp_path, n=8, mode="test")
+    trunk_fn, _ = _trunk_fn()
+    cache = extract_trunk_cache(str(tmp_path / "test.h5"), ds, trunk_fn,
+                                batch_size=4, im_scale=IM,
+                                image_format="uint8", progress=False)
+    model = RelModelIMP(num_classes=7, num_predicates=4, mode="sgcls",
+                        hidden_dim=16, obj_dim=32, dtype=jnp.bfloat16)
+    batches = list(BatchLoader(ds, feature_cache=cache, batch_size=8,
+                               max_nodes=8, max_edges=8, num_workers=1,
+                               im_scale=IM, drop_last=False))
+    b0 = batches[0]
+    variables = model.init(jax.random.key(0), None, b0.boxes, b0.classes,
+                           b0.rels[..., :2], b0.rel_mask, fmap=b0.fmaps,
+                           train=False)
+    cfg = Config(batch_size=8, max_nodes=8, max_edges=8, mode="sgcls",
+                 feature_cache=str(tmp_path))
+    kw = dict(eval_batch_size=8, verbose=False, feature_cache=cache)
+    res_sharded = val_epoch(model, variables, ds, cfg, "test",
+                            mesh=make_mesh(8), **kw)
+    res_single = val_epoch(model, variables, ds, cfg, "test", **kw)
+    res_sharded.pop("_counters", None)
+    res_single.pop("_counters", None)
+    assert res_sharded.keys() == res_single.keys()
+    for k in res_sharded:
+        np.testing.assert_allclose(res_sharded[k], res_single[k],
+                                   atol=1e-6, err_msg=k)
+    cache.close()
+
+
 @pytest.mark.slow
 def test_trainer_e2e_with_feature_cache(tmp_path):
     """Trainer extracts caches for train+eval splits, fits, and reuses the

@@ -172,8 +172,6 @@ class Config:
             assert self.mode in ("predcls", "sgcls"), (
                 "feature_cache accelerates the frozen-trunk modes only "
                 "(sgdet runs the detector end-to-end)", self.mode)
-            assert self.backbone == "vgg16", (
-                "feature_cache caches the vgg16 trunk", self.backbone)
             assert not self.gan, (
                 "feature_cache + GAN not supported: the GAN step consumes "
                 "the live feature map")

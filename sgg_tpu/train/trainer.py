@@ -274,8 +274,11 @@ class Trainer:
                                                 params_fingerprint,
                                                 split_cache_path)
         path = split_cache_path(cfg.feature_cache, split_name)
-        fp = params_fingerprint(
-            jax.tree_util.tree_map(np.asarray, self.state.params["trunk"]))
+        fp_tree = {"params": self.state.params["trunk"]}
+        trunk_bs = (self.state.batch_stats or {}).get("trunk")
+        if trunk_bs is not None:  # resnet50 BN statistics shape the output
+            fp_tree["batch_stats"] = trunk_bs
+        fp = params_fingerprint(jax.tree_util.tree_map(np.asarray, fp_tree))
         if os.path.exists(path):
             try:
                 cache = FeatureCache(path)
@@ -307,16 +310,30 @@ class Trainer:
                 f"process {jax.process_index()}: feature cache {path} "
                 f"not produced by process 0 within 1h")
         import jax.numpy as jnp
-        from sgg_tpu.models.backbone import VGG16Trunk
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
             else jnp.float32
-        trunk = VGG16Trunk(dtype=dtype)
         tvars = {"params": jax.tree_util.tree_map(
             np.asarray, self.state.params["trunk"])}
-        trunk_fn = jax.jit(lambda x: trunk.apply(tvars, x))
+        if cfg.backbone == "resnet50":
+            # the relation head pools from the stride-64 FPN 'pool' level
+            # only (reference rel_model_base.py:239) — cache exactly that
+            from sgg_tpu.models.resnet import ResNet50FPN
+            trunk = ResNet50FPN(dtype=dtype)
+            bs = (self.state.batch_stats or {}).get("trunk")
+            if bs is not None:
+                tvars["batch_stats"] = jax.tree_util.tree_map(np.asarray,
+                                                              bs)
+            trunk_fn = jax.jit(
+                lambda x: trunk.apply(tvars, x, train=False)["pool"])
+            stride = 64
+        else:
+            from sgg_tpu.models.backbone import VGG16Trunk
+            trunk = VGG16Trunk(dtype=dtype)
+            trunk_fn = jax.jit(lambda x: trunk.apply(tvars, x))
+            stride = 16
         t0 = time.time()
         extract_trunk_cache(
-            path, dataset, trunk_fn,
+            path, dataset, trunk_fn, stride=stride,
             batch_size=min(8, max(len(dataset), 1)),
             image_format=cfg.image_format, fingerprint=fp)
         print(f"[feature_cache] extracted {split_name} "

@@ -235,6 +235,73 @@ def test_sharded_cached_eval_matches_single_device(tmp_path):
     cache.close()
 
 
+def test_resnet50_pool_level_cache(tmp_path):
+    """The resnet50 backbone caches the stride-64 FPN 'pool' level (the
+    only map the relation head consumes, reference rel_model_base.py:239);
+    a cached forward runs without trunk params."""
+    from sgg_tpu.models.relhead import RelModelIMP
+    from sgg_tpu.models.resnet import ResNet50FPN
+
+    ds = _dataset(tmp_path, n=3, mode="train")
+    mod = ResNet50FPN(dtype=jnp.bfloat16)
+    mvars = mod.init(jax.random.key(0), jnp.zeros((1, IM, IM, 3)),
+                     train=False)
+    trunk_fn = jax.jit(lambda x: mod.apply(mvars, x, train=False)["pool"])
+    cache = extract_trunk_cache(str(tmp_path / "r50.h5"), ds, trunk_fn,
+                                batch_size=3, im_scale=IM, stride=64,
+                                image_format="uint8", progress=False)
+    assert cache.stride == 64 and cache.channels == 256
+    loader = BatchLoader(ds, feature_cache=cache, batch_size=3, max_nodes=8,
+                         max_edges=8, num_workers=1, im_scale=IM, seed=0)
+    batch = next(iter(loader))
+    assert batch.fmaps.shape == (3, IM // 64, IM // 64, 256)
+
+    model = RelModelIMP(num_classes=7, num_predicates=4, mode="sgcls",
+                        backbone="resnet50", hidden_dim=16, obj_dim=32,
+                        dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(1), None, batch.boxes,
+                           batch.classes, batch.rels[..., :2],
+                           batch.rel_mask, fmap=batch.fmaps, train=False)
+    out = model.apply(variables, None, batch.boxes, batch.classes,
+                      batch.rels[..., :2], batch.rel_mask,
+                      fmap=batch.fmaps, train=False)
+    assert np.isfinite(np.asarray(out["rel_logits"],
+                                  np.float32)).all()
+    cache.close()
+
+
+@pytest.mark.slow
+def test_trainer_e2e_resnet50_feature_cache(tmp_path):
+    """Trainer dispatches extraction to the ResNet50-FPN trunk (params +
+    BN statistics fingerprinted) and trains from the cache."""
+    from sgg_tpu.config import Config
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.train.trainer import Trainer
+
+    def to_ds(s, mode):
+        return SGGDataset(name="stanford", mode=mode, filenames=[],
+                          images_dir="", gt_boxes=s.gt_boxes,
+                          gt_classes=s.gt_classes,
+                          relationships=s.relationships,
+                          ind_to_classes=s.ind_to_classes,
+                          ind_to_predicates=s.ind_to_predicates,
+                          box_coordinates="native")
+
+    mk = lambda seed, n, mode: to_ds(
+        SyntheticSGGDataset(num_images=n, num_classes=9, num_predicates=5,
+                            max_objects=5, image_size=300, seed=seed), mode)
+    splits = {"train": mk(0, 2, "train")}
+    config = Config(batch_size=2, max_nodes=8, max_edges=12, mode="sgcls",
+                    backbone="resnet50", num_epochs=1, print_interval=1,
+                    val_size=0, notest=True,
+                    feature_cache=str(tmp_path / "fc"))
+    trainer = Trainer(config, splits, with_images=False)
+    losses = trainer.train_epoch(0)
+    assert np.isfinite(losses["total"])
+    fc = trainer._feature_caches["train"]
+    assert fc.stride == 64 and fc.n_orient == 2
+
+
 @pytest.mark.slow
 def test_trainer_e2e_with_feature_cache(tmp_path):
     """Trainer extracts caches for train+eval splits, fits, and reuses the

@@ -169,9 +169,13 @@ class Config:
                 "at least one GAN loss must be specified to train GAN", self.ganlosses)
         assert self.max_nodes >= 2 and self.max_edges >= 1
         if self.feature_cache is not None:
-            assert self.mode in ("predcls", "sgcls"), (
-                "feature_cache accelerates the frozen-trunk modes only "
-                "(sgdet runs the detector end-to-end)", self.mode)
+            if self.mode == "sgdet":
+                # the frozen sgdet detector restarts at the RPN from the
+                # cached trunk fmap — single-scale vgg16 only (the FPN
+                # detector consumes every pyramid level)
+                assert self.backbone == "vgg16", (
+                    "sgdet feature_cache requires the vgg16 backbone",
+                    self.backbone)
             assert not self.gan, (
                 "feature_cache + GAN not supported: the GAN step consumes "
                 "the live feature map")

@@ -76,8 +76,9 @@ def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
 
     def eval_step(variables, batch: GraphBatch):
         det_vars, rel_vars = variables
+        kw = {"fmap": batch.fmaps} if batch.fmaps is not None else {}
         det = detector.apply(det_vars, batch.images, batch.im_hw,
-                             train=False, score_thresh=score_thresh)
+                             train=False, score_thresh=score_thresh, **kw)
         boxes, labels, mask = det["boxes"], det["labels"], det["mask"]
         boxes = jnp.where(mask[..., None], boxes, 0.0)
         labels = jnp.where(mask, labels, 0)
@@ -134,8 +135,12 @@ def make_sgdet_retry_eval_step(detector, relmodel,
 
     def eval_step(variables, batch: GraphBatch):
         det_vars, rel_vars = variables
+        # frozen-trunk feature cache (data/feature_cache.py): batches may
+        # carry the precomputed trunk fmap; the detector then starts at
+        # the RPN (vgg16 single-scale backbone only)
+        kw = {"fmap": batch.fmaps} if batch.fmaps is not None else {}
         det = detector.apply(det_vars, batch.images, batch.im_hw,
-                             train=False, score_thresh=t_min)
+                             train=False, score_thresh=t_min, **kw)
         boxes, labels = det["boxes"], det["labels"]
         scores, base_mask = det["scores"], det["mask"]
 
@@ -203,9 +208,15 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
     """
     loss_weights = (config.alpha, config.beta, config.gamma)
 
-    det_step = jax.jit(lambda v, im, hw: jax.lax.stop_gradient(
-        {k: x for k, x in detector.apply(v, im, hw, train=False).items()
-         if k in ("boxes", "labels", "mask", "fmap", "nms_converged")}))
+    def _det_fwd(v, im, hw, fm):
+        kw = {"fmap": fm} if fm is not None else {}
+        return jax.lax.stop_gradient(
+            {k: x
+             for k, x in detector.apply(v, im, hw, train=False,
+                                        **kw).items()
+             if k in ("boxes", "labels", "mask", "fmap", "nms_converged")})
+
+    det_step = jax.jit(_det_fwd)
 
     def train_step(state: TrainState, batch: GraphBatch, key, det):
         k_rel, k_drop = jax.random.split(key)
@@ -257,7 +268,8 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
     det_variables = jax.device_put(det_variables)
 
     def step(state: TrainState, batch: GraphBatch, key):
-        det = det_step(det_variables, batch.images, batch.im_hw)
+        det = det_step(det_variables, batch.images, batch.im_hw,
+                       batch.fmaps)
         return jitted(state, batch, key, det)
 
     return step

@@ -274,10 +274,18 @@ class Trainer:
                                                 params_fingerprint,
                                                 split_cache_path)
         path = split_cache_path(cfg.feature_cache, split_name)
-        fp_tree = {"params": self.state.params["trunk"]}
-        trunk_bs = (self.state.batch_stats or {}).get("trunk")
-        if trunk_bs is not None:  # resnet50 BN statistics shape the output
-            fp_tree["batch_stats"] = trunk_bs
+        if cfg.mode == "sgdet":
+            # sgdet: the trunk lives inside the frozen detector variables
+            # (the rel model is initialized fmap-first, without a trunk)
+            src_params = self.det_variables["params"]["trunk"]
+            src_bs = (self.det_variables.get("batch_stats")
+                      or {}).get("trunk")
+        else:
+            src_params = self.state.params["trunk"]
+            src_bs = (self.state.batch_stats or {}).get("trunk")
+        fp_tree = {"params": src_params}
+        if src_bs is not None:  # resnet50 BN statistics shape the output
+            fp_tree["batch_stats"] = src_bs
         fp = params_fingerprint(jax.tree_util.tree_map(np.asarray, fp_tree))
         if os.path.exists(path):
             try:
@@ -312,17 +320,15 @@ class Trainer:
         import jax.numpy as jnp
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
             else jnp.float32
-        tvars = {"params": jax.tree_util.tree_map(
-            np.asarray, self.state.params["trunk"])}
+        tvars = {"params": jax.tree_util.tree_map(np.asarray, src_params)}
         if cfg.backbone == "resnet50":
             # the relation head pools from the stride-64 FPN 'pool' level
             # only (reference rel_model_base.py:239) — cache exactly that
             from sgg_tpu.models.resnet import ResNet50FPN
             trunk = ResNet50FPN(dtype=dtype)
-            bs = (self.state.batch_stats or {}).get("trunk")
-            if bs is not None:
+            if src_bs is not None:
                 tvars["batch_stats"] = jax.tree_util.tree_map(np.asarray,
-                                                              bs)
+                                                              src_bs)
             trunk_fn = jax.jit(
                 lambda x: trunk.apply(tvars, x, train=False)["pool"])
             stride = 64

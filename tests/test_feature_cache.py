@@ -270,6 +270,72 @@ def test_resnet50_pool_level_cache(tmp_path):
     cache.close()
 
 
+def test_sgdet_eval_and_train_from_cached_fmap():
+    """sgdet consumes the cache too: its detector is frozen, and with
+    ``batch.fmaps`` it restarts at the RPN. Cached outputs match the
+    image-path outputs (same program family, float32)."""
+    import dataclasses as dc
+
+    from sgg_tpu.config import Config
+    from sgg_tpu.data import SyntheticSGGDataset
+    from sgg_tpu.models.backbone import VGG16Trunk
+    from sgg_tpu.models.detector import FasterRCNNVGG
+    from sgg_tpu.models.relhead import RelModelIMP
+    from sgg_tpu.models.sgdet import (make_sgdet_train_step,
+                                      sgdet_eval_with_retry)
+    from sgg_tpu.train.state import create_train_state
+
+    n_cls, n_pred = 8, 5
+    config = Config(batch_size=2, max_nodes=8, max_edges=16, mode="sgdet",
+                    loss="dnorm", compute_dtype="float32",
+                    feature_cache="/tmp/unused")
+    ds = SyntheticSGGDataset(num_images=2, num_classes=n_cls,
+                             num_predicates=n_pred, max_objects=5,
+                             image_size=96, with_images=True, seed=0)
+    gb = ds.batch([0, 1], max_nodes=8, max_edges=16)
+    detector = FasterRCNNVGG(num_classes=n_cls, rpn_pre_nms_top_n=64,
+                             rpn_post_nms_top_n=24, detections_per_img=8,
+                             obj_dim=48, dtype=jnp.float32,
+                             score_thresh=0.01)
+    relmodel = RelModelIMP(num_classes=n_cls, num_predicates=n_pred,
+                           mode="sgdet", hidden_dim=16, obj_dim=32,
+                           dtype=jnp.float32)
+    det_vars = detector.init(jax.random.key(0), gb.images, gb.im_hw,
+                             train=False)
+    det = detector.apply(det_vars, gb.images, gb.im_hw, train=False)
+    from sgg_tpu.models.sgdet import detection_pairs
+    pairs, pmask = detection_pairs(det["boxes"], det["mask"], True)
+    rel_vars = relmodel.init(jax.random.key(1), None, det["boxes"],
+                             det["labels"], pairs, pmask,
+                             fmap=det["fmap"], train=False, mode="sgdet")
+
+    trunk = VGG16Trunk(dtype=jnp.float32)
+    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
+        {"params": det_vars["params"]["trunk"]}, gb.images)
+    gbc = dc.replace(gb, images=None, fmaps=fmaps)
+
+    out_live = sgdet_eval_with_retry(detector, relmodel,
+                                     (det_vars, rel_vars), gb)
+    out_cached = sgdet_eval_with_retry(detector, relmodel,
+                                       (det_vars, rel_vars), gbc)
+    np.testing.assert_array_equal(out_live["det_mask"],
+                                  out_cached["det_mask"])
+    np.testing.assert_allclose(out_live["det_boxes"],
+                               out_cached["det_boxes"], atol=1e-4)
+    np.testing.assert_allclose(out_live["rel_dists"],
+                               out_cached["rel_dists"], atol=1e-4)
+
+    # training step: cached loss == image loss
+    variables_b = jax.tree_util.tree_map(jnp.array, rel_vars)
+    step = make_sgdet_train_step(detector, relmodel, config, det_vars)
+    _, m_live = step(create_train_state(config, rel_vars), gb,
+                     jax.random.key(0))
+    _, m_cached = step(create_train_state(config, variables_b), gbc,
+                       jax.random.key(0))
+    assert float(m_cached["total"]) == pytest.approx(
+        float(m_live["total"]), rel=1e-4)
+
+
 @pytest.mark.slow
 def test_trainer_e2e_resnet50_feature_cache(tmp_path):
     """Trainer dispatches extraction to the ResNet50-FPN trunk (params +

@@ -265,10 +265,11 @@ def main():
     # ~same ~13 img/s class as sgcls training: "~1 day" runs)
     try:
         _stage("sgdet_train")
-        v = _bench_sgdet_train()
+        v, v_cached = _bench_sgdet_train()
         line["sgdet_train_images_per_sec"] = round(v, 2)
         line["sgdet_train_vs_baseline"] = round(
             v / REFERENCE_IMAGES_PER_SEC, 2)
+        line["sgdet_train_cached_images_per_sec"] = round(v_cached, 2)
     except Exception as e:
         errors["sgdet_train_error"] = repr(e)[:120]
 
@@ -445,6 +446,24 @@ def _bench_sgdet_eval(B: int = 8):
         "sgdet_nms_cand_overflow_rate": float(np.mean(
             np.asarray(out["n_nms_candidates"]) > det.nms_candidates)),
     }
+
+    # frozen-trunk cached variant: sgdet's detector is frozen too — with
+    # batch.fmaps the program restarts at the RPN
+    import dataclasses
+
+    from sgg_tpu.models.backbone import VGG16Trunk
+    trunk = VGG16Trunk(dtype=jnp.bfloat16)
+    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
+        {"params": det_vars["params"]["trunk"]}, gb.images)
+    gbc = dataclasses.replace(gb, images=None, fmaps=fmaps)
+    out = step((det_vars, rel_vars), gbc)
+    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step((det_vars, rel_vars), gbc)
+    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
+    caps["sgdet_eval_cached_images_per_sec"] = round(
+        B * iters / (time.perf_counter() - t0), 2)
     return ips, caps
 
 
@@ -490,7 +509,25 @@ def _bench_sgdet_train(B: int = 8):
     for i in range(iters):
         state, metrics = step(state, gb, jax.random.key(10 + i))
     assert np.isfinite(float(metrics["total"]))
-    return B * iters / (time.perf_counter() - t0)
+    ips = B * iters / (time.perf_counter() - t0)
+
+    # frozen-trunk cached variant (detector restarts at the RPN)
+    import dataclasses
+
+    from sgg_tpu.models.backbone import VGG16Trunk
+    trunk = VGG16Trunk(dtype=jnp.bfloat16)
+    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
+        {"params": det_vars["params"]["trunk"]}, gb.images)
+    gbc = dataclasses.replace(gb, images=None, fmaps=fmaps)
+    for i in range(2):
+        state, metrics = step(state, gbc, jax.random.key(20 + i))
+    float(metrics["total"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, gbc, jax.random.key(30 + i))
+    assert np.isfinite(float(metrics["total"]))
+    cached_ips = B * iters / (time.perf_counter() - t0)
+    return ips, cached_ips
 
 
 def _bench_detector_pretrain(B: int = 8):

@@ -61,6 +61,17 @@ def main():
     variables = model.init(jax.random.key(0), init_gb.images, init_gb.boxes,
                            init_gb.classes, sampled[..., :2], pm,
                            train=False)
+    # trunk fmaps for the cached-step check (computed BEFORE the donating
+    # train step: donation may invalidate buffers aliased with
+    # ``variables``)
+    import dataclasses
+
+    from sgg_tpu.models.backbone import VGG16Trunk
+    trunk = VGG16Trunk(dtype=jnp.float32)
+    local_fmaps = np.asarray(jax.jit(lambda v, x: trunk.apply(v, x))(
+        {"params": variables["params"]["trunk"]}, local.images))
+    state_c = replicate(create_train_state(config, variables), mesh)
+
     state = replicate(create_train_state(config, variables), mesh)
 
     step = make_train_step(model, config)
@@ -70,6 +81,21 @@ def main():
     assert np.isfinite(total)
     assert abs(mean - total) < 1e-6, (mean, total)  # same loss on all hosts
     print(f"MHLOSS {total:.10f}", flush=True)
+
+    # ---- frozen-trunk cached step across the process-spanning mesh:
+    # each host computed its LOCAL shard's trunk fmaps above (as the
+    # per-process cache reader would), global_batch shards the fmaps
+    # leaf, and the cached DP step must agree across hosts and with the
+    # image step
+    local_cached = dataclasses.replace(local, images=None,
+                                       fmaps=local_fmaps)
+    batch_c = dist.global_batch(local_cached, mesh)
+    _, metrics_c = step(state_c, batch_c, jax.random.key(1))
+    total_c = float(metrics_c["total"])
+    assert np.isfinite(total_c)
+    assert abs(dist.host_mean(total_c) - total_c) < 1e-6
+    assert abs(total_c - total) < 1e-4, (total_c, total)
+    print(f"MHCACHED {total_c:.10f}", flush=True)
 
     if ckpt_dir is None:
         return

@@ -76,11 +76,11 @@ def test_two_process_multihost_dp_step(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=root))
     outs = [p.communicate(timeout=480)[0] for p in procs]
-    losses, evals, ckpts = [], [], []
+    losses, evals, ckpts, cached = [], [], [], []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         for marker, sink in (("MHLOSS", losses), ("MHEVAL", evals),
-                             ("MHCKPT", ckpts)):
+                             ("MHCKPT", ckpts), ("MHCACHED", cached)):
             # gloo writes unterminated log fragments to the same fd; parse
             # the number with a regex instead of splitting lines
             m = re.search(marker + r" ([0-9]+\.[0-9]+)", out)
@@ -89,6 +89,9 @@ def test_two_process_multihost_dp_step(tmp_path):
     assert losses[0] == losses[1]
     assert evals[0] == evals[1]
     assert ckpts[0] == ckpts[1]
+    # frozen-trunk cached DP step: same loss on both hosts, and the worker
+    # itself asserted |cached - image| < 1e-4
+    assert cached[0] == cached[1]
 
     # single-process 8-device reference (this process has the virtual mesh)
     B, N, E, IMG = 8, 8, 16, 48

@@ -251,14 +251,17 @@ def main():
     # ---- GAN-augmented training (the ICCV'21 configuration, reference
     # main.py -gan: F/G/D phases in one jitted program). Reference pays
     # ~2x its base step for -gan (~6 img/s at b=24).
-    gan_per_sec = None
+    gan_per_sec = gan_cached_per_sec = None
     try:
         _stage("gan_train")
-        gan_per_sec = _bench_gan_train()
+        gan_per_sec, gan_cached_per_sec = _bench_gan_train()
     except Exception as e:
         errors["gan_train_error"] = repr(e)[:120]
     if gan_per_sec is not None:
         line["gan_train_images_per_sec"] = round(gan_per_sec, 2)
+    if gan_cached_per_sec is not None:
+        line["gan_train_cached_images_per_sec"] = round(
+            gan_cached_per_sec, 2)
 
     # ---- sgdet TRAINING step (frozen detector -> rel_assignments ->
     # rel-head update, one jitted program; reference main.py -m sgdet,
@@ -347,7 +350,28 @@ def _bench_gan_train(B: int = BATCH):
         state, metrics = step(state, gb, gb.classes, None,
                               jax.random.key(10 + i))
     float(metrics["obj_loss"])
-    return B * iters / (time.perf_counter() - t0)
+    ips = B * iters / (time.perf_counter() - t0)
+
+    # frozen-trunk cached variant: the trunk is frozen under -gan too; the
+    # discriminators' "real" fmap is the cached one
+    import dataclasses
+
+    from sgg_tpu.models.backbone import VGG16Trunk
+    trunk = VGG16Trunk(dtype=jnp.bfloat16)
+    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
+        {"params": state.sgg.params["trunk"]}, gb.images)
+    gbc = dataclasses.replace(gb, images=None, fmaps=fmaps)
+    for i in range(2):
+        state, metrics = step(state, gbc, gbc.classes, None,
+                              jax.random.key(20 + i))
+    float(metrics["obj_loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, gbc, gbc.classes, None,
+                              jax.random.key(30 + i))
+    float(metrics["obj_loss"])
+    cached_ips = B * iters / (time.perf_counter() - t0)
+    return ips, cached_ips
 
 
 def _bench_sgcls_eval(model, B: int = 8, eval_nodes: int = 64):

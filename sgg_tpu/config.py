@@ -176,9 +176,8 @@ class Config:
                 assert self.backbone == "vgg16", (
                     "sgdet feature_cache requires the vgg16 backbone",
                     self.backbone)
-            assert not self.gan, (
-                "feature_cache + GAN not supported: the GAN step consumes "
-                "the live feature map")
+            # -gan composes: the trunk is frozen under GAN training too,
+            # and the discriminators' "real" fmap is exactly the cached one
 
     @property
     def num_mp_edges(self) -> int:

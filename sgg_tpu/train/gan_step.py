@@ -111,10 +111,13 @@ def make_gan_train_step(model, gan, config: Config):
 
         # ---------------- phase 1: SGG (F) update -----------------------
         def sgg_loss_fn(params):
+            # batch.fmaps: frozen-trunk feature cache (the trunk is frozen
+            # even under -gan, main.py:62-63) — the "real" fmap the
+            # discriminators judge is then the cached one, identically
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.sgg.batch_stats},
                 batch.images, batch.boxes, batch.classes, pairs, pair_mask,
-                train=True, rngs={"dropout": k_dropout},
+                fmap=batch.fmaps, train=True, rngs={"dropout": k_dropout},
                 mutable=["batch_stats"], return_feats=True)
             losses = {}
             losses.update(node_losses(out["obj_logits"], batch.classes,

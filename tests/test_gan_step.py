@@ -70,6 +70,30 @@ def test_gan_step_runs_and_updates_everything():
     assert max_delta(state.sgg.params["trunk"], f0["trunk"]) == 0
 
 
+def test_gan_step_from_cached_fmaps_matches_image_path():
+    """The F/G/D step on a feature-cache batch (fmaps instead of images)
+    produces the same losses — the trunk is frozen under -gan too, so the
+    discriminators' 'real' fmap is exactly the cached one."""
+    import dataclasses as dc
+
+    from sgg_tpu.models.backbone import VGG16Trunk
+
+    config, model, gan, gb, state = _setup()
+    trunk = VGG16Trunk(dtype=jnp.float32)
+    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
+        {"params": state.sgg.params["trunk"]}, gb.images)
+    gbc = dc.replace(gb, images=None, fmaps=fmaps)
+    step = make_gan_train_step(model, gan, config)
+
+    state_b = jax.tree_util.tree_map(jnp.array, state)
+    _, m_img = step(state, gb, gb.classes, None, jax.random.key(0))
+    _, m_cached = step(state_b, gbc, gbc.classes, None, jax.random.key(0))
+    for k in ("obj_loss", "rel_loss", "G_fmap", "D_fmap", "total"):
+        if k in m_img:
+            assert float(m_cached[k]) == pytest.approx(float(m_img[k]),
+                                                       rel=1e-4, abs=1e-5), k
+
+
 def test_d_only_update_leaves_g_alone():
     config, model, gan, gb, state = _setup(ganlosses=("D",))
     step = make_gan_train_step(model, gan, config)

@@ -3,7 +3,10 @@ VG-statistics synthetic set (151 classes / 51 predicates, 592px, b=24),
 several epochs with eval — demonstrates sustained pipeline throughput,
 overfitting dynamics, checkpointing and the NaN guard end-to-end.
 
-Run: python tools/soak_tpu.py [n_images] [epochs]
+Run: python tools/soak_tpu.py [n_images] [epochs] [cache_dir]
+A third argument enables the frozen-trunk feature cache
+(data/feature_cache.py): epoch 0 pays one extraction pass, every epoch
+trains/evals from the cache.
 """
 
 import sys
@@ -27,6 +30,7 @@ def main():
 
     n_img = int(sys.argv[1]) if len(sys.argv) > 1 else 480
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    cache_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
     def mk(seed, n, mode):
         syn = SyntheticSGGDataset(num_images=n, num_classes=151,
@@ -48,7 +52,7 @@ def main():
                     mode="predcls", loss="dnorm", use_bias=True,
                     num_epochs=epochs, print_interval=5, val_size=0,
                     compute_dtype="bfloat16", save_dir="/tmp/soak_run",
-                    lr=3e-3)
+                    lr=3e-3, feature_cache=cache_dir)
     t0 = time.time()
     trainer = Trainer(config, splits, with_images=False)
     results = trainer.fit(test_names=("test_alls",))

@@ -154,11 +154,8 @@ def main():
     cached_per_sec = None
     try:
         _stage("sgcls_train_cached")
-        from sgg_tpu.models.backbone import VGG16Trunk
-        trunk = VGG16Trunk(dtype=jnp.bfloat16)
-        fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
-            {"params": state.params["trunk"]}, gb.images)
-        gb_cached = dataclasses.replace(gb, images=None, fmaps=fmaps)
+        from sgg_tpu.data.feature_cache import cached_batch
+        gb_cached = cached_batch(state.params["trunk"], gb)
         for i in range(WARMUP):
             state, metrics = step(state, gb_cached, jax.random.key(200 + i))
         float(metrics["total"])
@@ -241,10 +238,14 @@ def main():
         # exactness-cap overflow rates over the bench batches (fraction of
         # images whose candidate pairs / NMS candidates exceeded the
         # compiled fast-path caps and took the exact fallback)
-        line.update({k: round(v, 4) for k, v in sgdet_caps.items()})
+        line.update({k: round(v, 4) if isinstance(v, float) else v
+                     for k, v in sgdet_caps.items()})
     if sgcls_eval_per_sec is not None:
         line["sgcls_eval_images_per_sec"] = round(sgcls_eval_per_sec, 2)
-    if sgcls_eval_cached_per_sec is not None:
+    if isinstance(sgcls_eval_cached_per_sec, Exception):
+        errors["sgcls_eval_cached_error"] = repr(
+            sgcls_eval_cached_per_sec)[:120]
+    elif sgcls_eval_cached_per_sec is not None:
         line["sgcls_eval_cached_images_per_sec"] = round(
             sgcls_eval_cached_per_sec, 2)
 
@@ -259,7 +260,9 @@ def main():
         errors["gan_train_error"] = repr(e)[:120]
     if gan_per_sec is not None:
         line["gan_train_images_per_sec"] = round(gan_per_sec, 2)
-    if gan_cached_per_sec is not None:
+    if isinstance(gan_cached_per_sec, Exception):
+        errors["gan_train_cached_error"] = repr(gan_cached_per_sec)[:120]
+    elif gan_cached_per_sec is not None:
         line["gan_train_cached_images_per_sec"] = round(
             gan_cached_per_sec, 2)
 
@@ -272,7 +275,10 @@ def main():
         line["sgdet_train_images_per_sec"] = round(v, 2)
         line["sgdet_train_vs_baseline"] = round(
             v / REFERENCE_IMAGES_PER_SEC, 2)
-        line["sgdet_train_cached_images_per_sec"] = round(v_cached, 2)
+        if isinstance(v_cached, Exception):
+            errors["sgdet_train_cached_error"] = repr(v_cached)[:120]
+        else:
+            line["sgdet_train_cached_images_per_sec"] = round(v_cached, 2)
     except Exception as e:
         errors["sgdet_train_error"] = repr(e)[:120]
 
@@ -353,24 +359,23 @@ def _bench_gan_train(B: int = BATCH):
     ips = B * iters / (time.perf_counter() - t0)
 
     # frozen-trunk cached variant: the trunk is frozen under -gan too; the
-    # discriminators' "real" fmap is the cached one
-    import dataclasses
-
-    from sgg_tpu.models.backbone import VGG16Trunk
-    trunk = VGG16Trunk(dtype=jnp.bfloat16)
-    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
-        {"params": state.sgg.params["trunk"]}, gb.images)
-    gbc = dataclasses.replace(gb, images=None, fmaps=fmaps)
-    for i in range(2):
-        state, metrics = step(state, gbc, gbc.classes, None,
-                              jax.random.key(20 + i))
-    float(metrics["obj_loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, gbc, gbc.classes, None,
-                              jax.random.key(30 + i))
-    float(metrics["obj_loss"])
-    cached_ips = B * iters / (time.perf_counter() - t0)
+    # discriminators' "real" fmap is the cached one. Guarded so a failure
+    # here cannot discard the base metric.
+    try:
+        from sgg_tpu.data.feature_cache import cached_batch
+        gbc = cached_batch(state.sgg.params["trunk"], gb)
+        for i in range(2):
+            state, metrics = step(state, gbc, gbc.classes, None,
+                                  jax.random.key(20 + i))
+        float(metrics["obj_loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, gbc, gbc.classes, None,
+                                  jax.random.key(30 + i))
+        float(metrics["obj_loss"])
+        cached_ips = B * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        cached_ips = e
     return ips, cached_ips
 
 
@@ -404,21 +409,23 @@ def _bench_sgcls_eval(model, B: int = 8, eval_nodes: int = 64):
     per_sec = B * iters / (time.perf_counter() - t0)
 
     # frozen-trunk cached variant: same eval step on precomputed fmaps
-    # (eval never flips, so the cache holds one orientation per image)
-    import dataclasses
-
-    from sgg_tpu.models.backbone import VGG16Trunk
-    trunk = VGG16Trunk(dtype=jnp.bfloat16)
-    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
-        {"params": variables["params"]["trunk"]}, gb.images)
-    gbc = dataclasses.replace(gb, images=None, fmaps=fmaps)
-    out = step(variables, gbc)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # (eval never flips, so the cache holds one orientation per image).
+    # Guarded so a cached-path failure cannot discard the base metric.
+    cached_per_sec = None
+    try:
+        from sgg_tpu.data.feature_cache import cached_batch
+        gbc = cached_batch(variables["params"]["trunk"], gb)
         out = step(variables, gbc)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).ravel()[0])
-    cached_per_sec = B * iters / (time.perf_counter() - t0)
+        float(jnp.asarray(out["rel_logits"]).astype(
+            jnp.float32).ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(variables, gbc)
+        float(jnp.asarray(out["rel_logits"]).astype(
+            jnp.float32).ravel()[0])
+        cached_per_sec = B * iters / (time.perf_counter() - t0)
+    except Exception as e:  # surfaced as *_cached_error by main()
+        cached_per_sec = e
     return per_sec, cached_per_sec
 
 
@@ -472,22 +479,21 @@ def _bench_sgdet_eval(B: int = 8):
     }
 
     # frozen-trunk cached variant: sgdet's detector is frozen too — with
-    # batch.fmaps the program restarts at the RPN
-    import dataclasses
-
-    from sgg_tpu.models.backbone import VGG16Trunk
-    trunk = VGG16Trunk(dtype=jnp.bfloat16)
-    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
-        {"params": det_vars["params"]["trunk"]}, gb.images)
-    gbc = dataclasses.replace(gb, images=None, fmaps=fmaps)
-    out = step((det_vars, rel_vars), gbc)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # batch.fmaps the program restarts at the RPN. Guarded so a failure
+    # here cannot discard the base metric.
+    try:
+        from sgg_tpu.data.feature_cache import cached_batch
+        gbc = cached_batch(det_vars["params"]["trunk"], gb)
         out = step((det_vars, rel_vars), gbc)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
-    caps["sgdet_eval_cached_images_per_sec"] = round(
-        B * iters / (time.perf_counter() - t0), 2)
+        float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step((det_vars, rel_vars), gbc)
+        float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
+        caps["sgdet_eval_cached_images_per_sec"] = round(
+            B * iters / (time.perf_counter() - t0), 2)
+    except Exception as e:
+        caps["sgdet_eval_cached_error"] = repr(e)[:120]
     return ips, caps
 
 
@@ -535,22 +541,21 @@ def _bench_sgdet_train(B: int = 8):
     assert np.isfinite(float(metrics["total"]))
     ips = B * iters / (time.perf_counter() - t0)
 
-    # frozen-trunk cached variant (detector restarts at the RPN)
-    import dataclasses
-
-    from sgg_tpu.models.backbone import VGG16Trunk
-    trunk = VGG16Trunk(dtype=jnp.bfloat16)
-    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
-        {"params": det_vars["params"]["trunk"]}, gb.images)
-    gbc = dataclasses.replace(gb, images=None, fmaps=fmaps)
-    for i in range(2):
-        state, metrics = step(state, gbc, jax.random.key(20 + i))
-    float(metrics["total"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, gbc, jax.random.key(30 + i))
-    assert np.isfinite(float(metrics["total"]))
-    cached_ips = B * iters / (time.perf_counter() - t0)
+    # frozen-trunk cached variant (detector restarts at the RPN). Guarded
+    # so a failure here cannot discard the base metric.
+    try:
+        from sgg_tpu.data.feature_cache import cached_batch
+        gbc = cached_batch(det_vars["params"]["trunk"], gb)
+        for i in range(2):
+            state, metrics = step(state, gbc, jax.random.key(20 + i))
+        float(metrics["total"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, gbc, jax.random.key(30 + i))
+        assert np.isfinite(float(metrics["total"]))
+        cached_ips = B * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        cached_ips = e
     return ips, cached_ips
 
 

@@ -113,8 +113,10 @@ class Config:
     dp_axis: str = "data"
     # Frozen-trunk feature cache directory (data/feature_cache.py): extract
     # trunk fmaps once (both flip orientations for train splits), then
-    # train/eval the heads from the cache — the trunk (~46% of the step)
-    # never re-runs. predcls/sgcls with the vgg16 backbone only. None = off.
+    # train/eval from the cache — the trunk (~46% of the sgcls step) never
+    # re-runs. Any mode incl. -gan; both backbones for predcls/sgcls
+    # (vgg16 trunk / resnet50 FPN 'pool' level); sgdet needs vgg16 (the
+    # detector restarts at the RPN). None = off.
     feature_cache: Optional[str] = None
 
     # Reproducibility metadata (reference config.py:52-60), filled by
@@ -261,8 +263,9 @@ def setup_parser() -> ArgumentParser:
     p.add_argument("-feature_cache", dest="feature_cache", type=str,
                    default=None,
                    help="directory for the frozen-trunk feature cache: "
-                        "extract trunk fmaps once, then train/eval the "
-                        "heads from the cache (predcls/sgcls, vgg16)")
+                        "extract trunk fmaps once, then train/eval from "
+                        "the cache (any mode incl. -gan; sgdet needs "
+                        "the vgg16 backbone)")
     return p
 
 

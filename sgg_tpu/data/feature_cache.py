@@ -13,10 +13,12 @@ This module materializes the trunk output once per image — for BOTH
 horizontal-flip orientations when the split is a training split, because
 ``trunk(flip(image)) != flip(trunk(image))`` for a conv net with
 non-symmetric kernels — and the input pipeline then streams feature maps
-instead of images. The cached step computes bit-identical losses/gradients
-to the image step (the trunk is deterministic at inference; features are
-stored as raw bfloat16 bits), so this is an exact rewrite of the training
-computation, not an approximation. The closest reference machinery is the
+instead of images. With bfloat16 compute (the default) the cached step
+sees the trunk output at full storage precision — features are stored as
+raw bfloat16 bits — so losses/gradients match the image step up to XLA
+fusion-level rounding; under float32 compute the cache additionally
+quantizes the trunk output to bfloat16 (~1e-3 relative). The closest
+reference machinery is the
 GAN feature bank (``extract_features.py``), which caches RoI-pooled
 features for a different purpose.
 
@@ -38,8 +40,10 @@ import numpy as np
 try:
     import ml_dtypes
     _BF16 = ml_dtypes.bfloat16
-except ImportError:  # pragma: no cover - ml_dtypes ships with jax
-    _BF16 = np.float32
+except ImportError as _e:  # pragma: no cover - ml_dtypes ships with jax
+    raise ImportError(
+        "sgg_tpu.data.feature_cache stores feature maps as raw bfloat16 "
+        "bits and requires ml_dtypes (bundled with jax)") from _e
 
 from sgg_tpu.constants import IM_SCALE
 
@@ -154,6 +158,8 @@ class FeatureCache:
 
     def orig_hw(self, idx: int):
         with self._lock:
+            assert self._f["done"][idx], (
+                f"feature cache {self.path} has no entry for image {idx}")
             hw = np.asarray(self._f["orig_hw"][idx])
         return int(hw[0]), int(hw[1])
 
@@ -169,7 +175,7 @@ class FeatureCache:
 def extract_trunk_cache(path: str, dataset, trunk_fn, *,
                         batch_size: int = 8, im_scale: int = IM_SCALE,
                         stride: int = 16, image_format: str = "uint8",
-                        fingerprint: str = "",
+                        fingerprint: str = "", with_images: bool = True,
                         progress: bool = True) -> FeatureCache:
     """Run the frozen trunk over every image (both flips for train splits)
     and persist the feature maps.
@@ -185,6 +191,9 @@ def extract_trunk_cache(path: str, dataset, trunk_fn, *,
         normalized on device by the trunk, the default runtime path).
       image_format: must match the training run's ``config.image_format``
         for bit-exact parity (uint8 canvases are quantized).
+      with_images: must match the run's loader setting — a loader with
+        ``with_images=False`` synthesizes blank canvases even when the
+        dataset has filenames, and the cache must see the same pixels.
     """
     from sgg_tpu.data.pipeline import load_source_image, prepare_example
 
@@ -193,7 +202,8 @@ def extract_trunk_cache(path: str, dataset, trunk_fn, *,
     rng = np.random.RandomState(0)  # never consulted (flip is forced)
 
     def canvases(idx: int):
-        img = load_source_image(dataset, idx, image_format)
+        img = load_source_image(dataset, idx, image_format,
+                                with_images=with_images)
         outs = []
         for flip in range(n_orient):
             canvas, _, _, _ = prepare_example(
@@ -234,3 +244,19 @@ def extract_trunk_cache(path: str, dataset, trunk_fn, *,
 def split_cache_path(cache_dir: str, split_name: str) -> str:
     """Per-split cache file inside the configured cache directory."""
     return os.path.join(cache_dir, f"trunk_{split_name}.h5")
+
+
+def cached_batch(trunk_params, batch, dtype=None):
+    """Device-side shortcut used by benches/tests: run the VGG trunk on a
+    batch's images and return the same batch carrying ``fmaps`` instead
+    (what the cache-backed loader would deliver, minus the disk trip)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sgg_tpu.models.backbone import VGG16Trunk
+    trunk = VGG16Trunk(dtype=dtype if dtype is not None else jnp.bfloat16)
+    fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
+        {"params": trunk_params}, batch.images)
+    return dataclasses.replace(batch, images=None, fmaps=fmaps)

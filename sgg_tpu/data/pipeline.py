@@ -175,13 +175,15 @@ def to_image_dtype(batch: GraphBatch, dtype: str) -> GraphBatch:
     return dataclasses.replace(batch, images=images)
 
 
-def load_source_image(dataset, idx: int, image_format: str) -> np.ndarray:
+def load_source_image(dataset, idx: int, image_format: str,
+                      with_images: bool = True) -> np.ndarray:
     """The raw image a dataset example comes from — decoded file when the
-    dataset has filenames, else a blank canvas spanning the boxes' extent
-    (file-less synthetic/test datasets). Shared by ``BatchLoader`` and the
-    feature-cache extractor so both see identical pixels."""
+    dataset has filenames (and the run wants images), else a blank canvas
+    spanning the boxes' extent (file-less synthetic/test datasets, or
+    ``with_images=False`` feature-level runs). Shared by ``BatchLoader``
+    and the feature-cache extractor so both see identical pixels."""
     import os
-    if dataset.filenames:
+    if with_images and dataset.filenames:
         path = os.path.join(dataset.images_dir, dataset.filenames[idx])
         return (load_image_u8(path) if image_format == "uint8"
                 else load_image(path))
@@ -233,6 +235,9 @@ class BatchLoader:
                 "feature cache / dataset size mismatch: "
                 f"{self.feature_cache.num_images} vs {len(dataset)}")
             assert self.feature_cache.im_scale == im_scale
+            assert self.feature_cache.complete(), (
+                f"feature cache {self.feature_cache.path} is incomplete "
+                f"— re-run extraction")
         self._epoch = 0
 
     def __len__(self):

@@ -266,6 +266,11 @@ class Trainer:
         cfg = self.config
         if not cfg.feature_cache or len(dataset) == 0:
             return None
+        if cfg.mode == "sgdet" and split_name.startswith("val_"):
+            # val_epoch skips the sgdet evaluator for val_ splits
+            # (eval/driver.py; reference lib/eval.py:34-35) — don't spend
+            # an extraction pass on a cache nothing reads
+            return None
         cache = self._feature_caches.get(split_name)
         if cache is not None:
             return cache
@@ -341,7 +346,8 @@ class Trainer:
         extract_trunk_cache(
             path, dataset, trunk_fn, stride=stride,
             batch_size=min(8, max(len(dataset), 1)),
-            image_format=cfg.image_format, fingerprint=fp)
+            image_format=cfg.image_format, fingerprint=fp,
+            with_images=self.with_images)
         print(f"[feature_cache] extracted {split_name} "
               f"({len(dataset)} images) in {time.time() - t0:.1f}s")
         cache = FeatureCache(path)

@@ -379,9 +379,11 @@ def _bench_gan_train(B: int = BATCH):
     return ips, cached_ips
 
 
-def _bench_sgcls_eval(model, B: int = 8, eval_nodes: int = 64):
+def _bench_sgcls_eval(model, B: int = 16, eval_nodes: int = 64):
     """img/s of the jitted sgcls eval step at the driver's 512 pair-budget
-    rung over a 64-node no-truncation bucket (typical 12-object images)."""
+    rung over a 64-node no-truncation bucket (typical 12-object images).
+    B=16 is the driver's default predcls/sgcls eval batch (measured v5e
+    sweet spot; sgdet stays at 8)."""
     import jax.numpy as jnp
 
     from sgg_tpu.data import SyntheticSGGDataset

@@ -56,7 +56,7 @@ def apply_predicate_weights(rel_scores: np.ndarray,
 
 def val_epoch(model, variables, dataset: SGGDataset, config: Config,
               name: str, *, train: Optional[SGGDataset] = None,
-              n_batches: int = -1, eval_batch_size: int = 8,
+              n_batches: int = -1, eval_batch_size: Optional[int] = None,
               with_images: bool = True, collect_entries: bool = False,
               detector=None, det_variables=None,
               log_fn=None, verbose: bool = True,
@@ -156,8 +156,12 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
     for m in eval_modes:
         if m not in evaluators:
             continue
+        # measured per-protocol sweet spots on v5e (STATUS round-3): the
+        # predcls/sgcls all-pairs step gains ~7-11% at B=16, while the
+        # sgdet detector step regresses past B=8
+        bs = eval_batch_size or (8 if m == "sgdet" else 16)
         from sgg_tpu.constants import IM_SCALE
-        loader = BatchLoader(dataset, batch_size=eval_batch_size,
+        loader = BatchLoader(dataset, batch_size=bs,
                              max_nodes=eval_nodes,
                              max_edges=config.max_edges, shuffle=False,
                              drop_last=False, with_images=with_images,

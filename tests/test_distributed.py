@@ -75,7 +75,10 @@ def test_two_process_multihost_dp_step(tmp_path):
             [sys.executable, worker, str(pid), "2", str(port), ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=root))
-    outs = [p.communicate(timeout=480)[0] for p in procs]
+    # generous bound: each worker compiles the image step, the cached
+    # step, the eval step and Orbax IO; under a cold XLA cache or a busy
+    # host 480 s has proven too tight
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     losses, evals, ckpts, cached = [], [], [], []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"

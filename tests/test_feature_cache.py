@@ -198,6 +198,7 @@ def test_model_step_from_cached_fmaps(tmp_path):
     cache.close()
 
 
+@pytest.mark.slow
 def test_sharded_cached_eval_matches_single_device(tmp_path):
     """val_epoch from the feature cache over the 8-device DP mesh ==
     single-device cached run (shard_batch must handle the fmaps leaf)."""
@@ -270,6 +271,7 @@ def test_resnet50_pool_level_cache(tmp_path):
     cache.close()
 
 
+@pytest.mark.slow
 def test_sgdet_eval_and_train_from_cached_fmap():
     """sgdet consumes the cache too: its detector is frozen, and with
     ``batch.fmaps`` it restarts at the RPN. Cached outputs match the

@@ -14,7 +14,7 @@ import os
 
 
 def extract_features(trainer, save_dir: str, n_batches: int = -1,
-                     batch_size: int = 8) -> str:
+                     batch_size: int = 8, num_workers: int = 4) -> str:
     """Run the extraction with an assembled Trainer; returns the hdf5 path."""
     import numpy as np
 
@@ -35,14 +35,20 @@ def extract_features(trainer, save_dir: str, n_batches: int = -1,
                                    batch.rel_mask, batch.node_mask,
                                    max_out=batch.max_edges)
         out = model.apply(variables, batch.images, batch.boxes,
-                          batch.classes, sampled[..., :2], pm, train=False,
+                          batch.classes, sampled[..., :2], pm,
+                          fmap=batch.fmaps, train=False,
                           return_feats=True)
         return out["node_pool"].astype(jnp.float32)
 
+    # with -feature_cache the one-time bank pass skips the trunk too
+    # (reference budget: "~1 hour" on a modern GPU, README.md:75)
     loader = BatchLoader(ds, batch_size=batch_size,
                          max_nodes=config.max_nodes,
                          max_edges=config.max_edges, shuffle=False,
-                         drop_last=False, with_images=trainer.with_images)
+                         drop_last=False, with_images=trainer.with_images,
+                         num_workers=num_workers,
+                         feature_cache=trainer._feature_cache_for(
+                             "train", ds))
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, "features.hdf5")
     pool_shape = None

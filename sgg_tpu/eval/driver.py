@@ -180,7 +180,12 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
             # them back from a sharded batch would be a D2H per access
             gt_node_mask = np.asarray(batch.node_mask)
             gt_boxes_b = np.asarray(batch.boxes)
-            if mesh is not None and batch.batch_size % mesh.size == 0:
+            # sgdet outputs are consumed with np.asarray inside the retry
+            # wrapper (no process_allgather), which cannot fetch arrays
+            # spanning non-addressable devices — keep sgdet batches
+            # unsharded on process-spanning meshes
+            if mesh is not None and batch.batch_size % mesh.size == 0 \
+                    and not (m == "sgdet" and mesh_spans_processes):
                 batch = shard_batch(batch, mesh)
             if m == "sgdet":
                 from sgg_tpu.models.sgdet import sgdet_eval_with_retry
@@ -223,6 +228,13 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 n = int(node_mask[i].sum())
                 gt_rels = dataset.relationships[idx]
                 if len(gt_rels) == 0 or n == 0:
+                    continue
+                if m == "sgdet" and n < 2:
+                    # reference protocol: <2 detections at every retry
+                    # threshold raises (rel_model_base.py:234-235) and the
+                    # image never reaches the evaluator (lib/eval.py:
+                    # 227-228 falls through) — scoring it 0 would bias
+                    # recall low vs the reference
                     continue
                 entry = filter_dets(boxes[i][:n], obj_scores[i][:n],
                                     obj_preds[i][:n], pairs[i], rel_dists[i],

@@ -194,10 +194,10 @@ class FasterRCNNVGG(nn.Module):
     rpn_pre_nms_top_n: int = 1000
     rpn_post_nms_top_n: int = 512
     rpn_nms_thresh: float = 0.7
-    # top-M candidate cap ahead of each fixed-shape NMS (see
-    # postprocess_detections)
+    # top-M candidate cap ahead of the detection NMS (see
+    # postprocess_detections). The RPN side needs no extra cap here:
+    # generate_proposals' pre_nms_top_n IS its candidate cap.
     nms_candidates: int = 1024
-    rpn_nms_candidates: int = 2048
     # NMS algorithm (ops/nms.py): "rounds" breaks the greedy scalar chain
     # into monotone vector rounds (~5x on v5e) and reports per-image
     # convergence in dets["nms_converged"]; callers escalate to

@@ -39,9 +39,16 @@ def detection_pairs(det_boxes, det_mask, require_overlap: bool):
             jnp.take_along_axis(iou, pairs[..., 0:1], 1), pairs[..., 1:2],
             2)[..., 0]
         overlap_mask = pair_mask & (ov > 0)
-        # fall back to all pairs when nothing overlaps (degenerate images)
-        any_overlap = overlap_mask.any(axis=1, keepdims=True)
-        pair_mask = jnp.where(any_overlap, overlap_mask, pair_mask)
+        # reference fallback when nothing overlaps: a SINGLE degenerate
+        # (0, 0) self-pair (rel_model_base.py:159-161 fills one zero row),
+        # NOT the full pair set — all-pairs here would let such images
+        # score recall the reference cannot, inflating sgdet metrics
+        any_overlap = overlap_mask.any(axis=1)                     # (B,)
+        slot0 = jnp.arange(pair_mask.shape[1])[None, :] == 0       # (1, P)
+        fb_mask = slot0 & ~any_overlap[:, None] & det_mask[:, 0:1]
+        pairs = jnp.where(any_overlap[:, None, None], pairs,
+                          jnp.zeros_like(pairs))
+        pair_mask = jnp.where(any_overlap[:, None], overlap_mask, fb_mask)
     return pairs, pair_mask
 
 
@@ -330,32 +337,47 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
         return cache[key]
 
     counters.bump("sgdet_batches")
-    out = get_step(detector, max_pairs)(variables, batch)
+    mp = max_pairs
+    out = get_step(detector, mp)(variables, batch)
 
-    # rounds-NMS convergence escalation: an unconverged image's keep set
-    # is not (provably) the greedy solution — re-run with the
-    # unconditionally exact sequential method.
-    if ("nms_converged" in out
-            and not bool(np.all(np.asarray(out["nms_converged"])))):
-        counters.bump("sgdet_nms_unconverged")
-        detector = detector.clone(nms_method="sequential")
-        out = get_step(detector, max_pairs)(variables, batch)
+    # Escalation loop: every re-run is re-checked against ALL three
+    # exactness conditions (a cap-escalated re-run can itself push the
+    # rounds NMS past its budget, etc.). Each escalation is monotone —
+    # sequential NMS stays, the candidate cap only grows, the pair budget
+    # only drops to dense — so the loop terminates; the bound is a
+    # safety net.
+    for _ in range(8):
+        # rounds-NMS convergence: an unconverged image's keep set is not
+        # (provably) the greedy solution — switch to the unconditionally
+        # exact sequential method.
+        if ("nms_converged" in out
+                and not bool(np.all(np.asarray(out["nms_converged"])))
+                and getattr(detector, "nms_method", None) != "sequential"):
+            counters.bump("sgdet_nms_unconverged")
+            detector = detector.clone(nms_method="sequential")
+            out = get_step(detector, mp)(variables, batch)
+            continue
 
-    # NMS candidate-cap escalation (exactness precondition of the retry
-    # step's prefix argument): double M until it covers the batch.
-    cap = getattr(detector, "nms_candidates", None)
-    if cap is not None and "n_nms_candidates" in out:
-        need = int(np.max(np.asarray(out["n_nms_candidates"])))
-        if need > cap:
-            counters.bump("sgdet_nms_cand_overflow")
-            new_cap = cap
-            while new_cap < need:
-                new_cap *= 2
-            detector = detector.clone(nms_candidates=new_cap)
-            out = get_step(detector, max_pairs)(variables, batch)
+        # NMS candidate cap (exactness precondition of the retry step's
+        # prefix argument): double M until it covers the batch.
+        cap = getattr(detector, "nms_candidates", None)
+        if cap is not None and "n_nms_candidates" in out:
+            need = int(np.max(np.asarray(out["n_nms_candidates"])))
+            if need > cap:
+                counters.bump("sgdet_nms_cand_overflow")
+                new_cap = cap
+                while new_cap < need:
+                    new_cap *= 2
+                detector = detector.clone(nms_candidates=new_cap)
+                out = get_step(detector, mp)(variables, batch)
+                continue
 
-    if (max_pairs is not None
-            and int(np.max(np.asarray(out["pair_count"]))) > max_pairs):
-        counters.bump("sgdet_pair_overflow")
-        out = get_step(detector, None)(variables, batch)
+        # pair budget: overflow re-runs with the dense shape.
+        if (mp is not None
+                and int(np.max(np.asarray(out["pair_count"]))) > mp):
+            counters.bump("sgdet_pair_overflow")
+            mp = None
+            out = get_step(detector, mp)(variables, batch)
+            continue
+        break
     return {k: np.asarray(v) for k, v in out.items()}

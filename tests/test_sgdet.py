@@ -247,3 +247,75 @@ def test_sgdet_nms_candidate_cap_escalation():
     for k in ("det_boxes", "det_labels", "det_scores", "det_mask",
               "sel_thresh"):
         np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
+def test_detection_pairs_no_overlap_single_self_pair():
+    """Reference fallback when require_overlap leaves nothing: ONE
+    degenerate (0, 0) self-pair (rel_model_base.py:159-161), not the full
+    pair set — all-pairs would inflate sgdet recall on such images."""
+    from sgg_tpu.models.sgdet import detection_pairs
+
+    # image 0: two disjoint boxes (no overlap); image 1: two overlapping
+    boxes = np.zeros((2, 3, 4), np.float32)
+    boxes[0, 0] = (0, 0, 10, 10)
+    boxes[0, 1] = (50, 50, 60, 60)
+    boxes[1, 0] = (0, 0, 10, 10)
+    boxes[1, 1] = (5, 5, 15, 15)
+    mask = np.asarray([[True, True, False], [True, True, False]])
+    pairs, pm = detection_pairs(jnp.asarray(boxes), jnp.asarray(mask), True)
+    pairs, pm = np.asarray(pairs), np.asarray(pm)
+    # no-overlap image: exactly one valid pair and it is (0, 0)
+    assert pm[0].sum() == 1
+    np.testing.assert_array_equal(pairs[0][pm[0]], [[0, 0]])
+    # overlapping image: both ordered pairs (0,1) and (1,0) survive
+    got = {tuple(p) for p in pairs[1][pm[1]]}
+    assert got == {(0, 1), (1, 0)}
+
+
+def test_escalation_rechecks_convergence_after_cap_growth(monkeypatch):
+    """A cap-escalated re-run can itself be unconverged (more candidates ->
+    deeper suppression chains); the wrapper must re-check ALL exactness
+    conditions after every re-run and land on the sequential method."""
+    import dataclasses as dc
+
+    from sgg_tpu.models import sgdet as sgdet_mod
+    from sgg_tpu.utils import counters
+
+    @dc.dataclass(frozen=True)
+    class FakeDet:
+        nms_candidates: int = 8
+        nms_method: str = "rounds"
+
+        def clone(self, **kw):
+            return dc.replace(self, **kw)
+
+    calls = []
+
+    def fake_make_step(det, rel, thresholds=(0.2,), require_overlap=True,
+                       max_pairs=None):
+        def step(variables, batch):
+            calls.append((det.nms_method, det.nms_candidates, max_pairs))
+            # run 1 (rounds, cap 8): converged but candidate overflow
+            # run 2 (rounds, cap 16): covers the cap but UNCONVERGED
+            # run 3 (sequential, cap 16): exact
+            conv = not (det.nms_candidates > 8
+                        and det.nms_method == "rounds")
+            return {
+                "nms_converged": np.asarray([conv]),
+                "n_nms_candidates": np.asarray([9]),
+                "pair_count": np.asarray([1]),
+            }
+        return step
+
+    monkeypatch.setattr(sgdet_mod, "make_sgdet_retry_eval_step",
+                        fake_make_step)
+    before = counters.snapshot()
+    out = sgdet_mod.sgdet_eval_with_retry(
+        FakeDet(), None, (None, None), None, thresholds=(0.2,),
+        max_pairs=4)
+    d = counters.delta(before)
+    assert [c[:2] for c in calls] == [
+        ("rounds", 8), ("rounds", 16), ("sequential", 16)]
+    assert d.get("sgdet_nms_cand_overflow", 0) == 1
+    assert d.get("sgdet_nms_unconverged", 0) == 1
+    assert bool(np.all(out["nms_converged"]))

@@ -155,7 +155,11 @@ class SGGDataset:
         """Dataset statistics: objects, FG/BG edges, graph density
         (reference load-time print, visual_genome.py:242-249)."""
         n_obj = np.asarray([len(c) for c in self.gt_classes])
-        n_fg = np.asarray([len(r) for r in self.relationships])
+        # FG edges counted after duplicate-(subj,obj) collapse, matching
+        # the reference's len(filter_dups(rels)) (visual_genome.py:189)
+        n_fg = np.asarray([
+            len({(int(s), int(o)) for s, o, _ in r}) if len(r) else 0
+            for r in self.relationships])
         n_bg = n_obj * (n_obj - 1)
         with np.errstate(divide="ignore", invalid="ignore"):
             density = np.where(n_bg > 0, 100.0 * n_fg / np.maximum(n_bg, 1),

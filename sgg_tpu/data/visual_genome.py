@@ -43,13 +43,22 @@ def load_info(dict_file: str):
 
 
 def load_image_filenames(image_file: str, image_dir: str, check: bool = True):
-    """Good image basenames, 4 corrupted excluded (visual_genome.py:491-513)."""
+    """Good image basenames, 4 corrupted excluded (visual_genome.py:491-513).
+
+    With ``check`` (real-data runs) filenames are existence-filtered
+    against ``image_dir`` like the reference, so a missing/partial VG_100K
+    download fails fast at the expected-count assert instead of mid-epoch
+    in the decode pipeline; fixtures (check=False) skip the disk probe.
+    """
+    import os
     with open(image_file) as f:
         im_data = json.load(f)
     fns = []
     for img in im_data:
         basename = f"{img['image_id']}.jpg"
         if basename in CORRUPTED_IMS:
+            continue
+        if check and not os.path.exists(os.path.join(image_dir, basename)):
             continue
         fns.append(basename)
     if check:

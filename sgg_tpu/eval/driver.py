@@ -107,9 +107,15 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         if m == "sgdet" and name.startswith("val_"):
             continue  # skipped for validation (eval.py:34-35)
         evaluators[m] = SGGEvaluator(m)
+        # per-triplet normalized metrics weight GT triplets by their
+        # TRAINING-set frequency (reference main.py:260-261 passes
+        # train_loader.dataset.triplet_counts), not the eval split's own
+        # counts
+        tc = (train.triplet_counts if train is not None
+              else dataset.triplet_counts)
         evaluators[m + "_nogc"] = SGGEvaluator(
             m, multiple_preds=True, per_triplet=per_triplet,
-            triplet_counts=dataset.triplet_counts if per_triplet else None)
+            triplet_counts=tc if per_triplet else None)
         if with_mr:
             mr_lists[m] = MeanRecallEvaluator(m, dataset.ind_to_predicates)
             mr_lists[m + "_nogc"] = MeanRecallEvaluator(

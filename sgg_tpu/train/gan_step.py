@@ -103,9 +103,10 @@ def make_gan_train_step(model, gan, config: Config):
     def step(state: GANTrainState, batch: GraphBatch, fake_classes,
              vis_features, key):
         k_sample, k_dropout, k_drop2 = jax.random.split(key, 3)
+        # relation budget = min(bucket, rels_per_img) — see train/step.py
         sampled, pair_mask = sample_edges(
             k_sample, batch.rels, batch.rel_mask, batch.node_mask,
-            max_out=batch.max_edges)
+            max_out=min(batch.max_edges, config.rels_per_img))
         pairs, rel_labels = sampled[..., :2], sampled[..., 2]
         metrics = {}
 

@@ -38,9 +38,15 @@ def make_train_step(model, config: Config):
 
     def train_step(state: TrainState, batch: GraphBatch, key):
         k_sample, k_dropout = jax.random.split(key)
+        # per-image relation budget = min(padded bucket, rels_per_img):
+        # the reference samples FG (cap 0.25*RELS_PER_IMG) + all BG
+        # candidates up to RELS_PER_IMG per image
+        # (proposal_assignments_gtbox.py:47-56); the padded edge bucket
+        # additionally bounds it shape-wise (set -max_edges >= the budget
+        # for full parity on giant graphs)
         sampled, pair_mask = sample_edges(
             k_sample, batch.rels, batch.rel_mask, batch.node_mask,
-            max_out=batch.max_edges)
+            max_out=min(batch.max_edges, config.rels_per_img))
         pairs, rel_labels = sampled[..., :2], sampled[..., 2]
 
         def loss_fn(params):

@@ -91,6 +91,15 @@ class Trainer:
             from sgg_tpu.parallel import make_mesh
             self.mesh = make_mesh(n_dev, axis_name=config.dp_axis)
 
+        if config.mode != "sgdet" and config.max_edges < config.rels_per_img:
+            # the padded edge bucket bounds the per-image relation budget
+            # shape-wise; only images with more candidate pairs than the
+            # bucket are affected (reference budget: rels_per_img)
+            print(f"[trainer] edge budget = min(max_edges "
+                  f"{config.max_edges}, rels_per_img "
+                  f"{config.rels_per_img}) — raise -max_edges for full "
+                  f"budget parity on graphs with > {config.max_edges} "
+                  f"candidate pairs")
         self.steps_per_epoch = max(
             len(self.train_data) // config.batch_size, 1)
         self.state = self._init_state()

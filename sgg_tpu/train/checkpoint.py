@@ -61,10 +61,12 @@ def restore_payload(save_dir: str, template: Optional[Dict[str, Any]] = None,
     return restored, int(epoch)
 
 
-def save_checkpoint(save_dir: str, state: TrainState, epoch: int,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
+def save_checkpoint(save_dir: str, state: TrainState, epoch: int) -> None:
     """Save the train state (reference save_checkpoint,
-    pytorch_misc.py:217-233)."""
+    pytorch_misc.py:217-233). Extra trees (GAN state etc.) go through
+    ``save_payload``/``restore_payload`` directly, which keep the save and
+    restore templates symmetric — ``restore_checkpoint``'s fixed template
+    could not restore a payload carrying unknown keys."""
     payload = {
         "step": state.step,
         "params": state.params,
@@ -72,8 +74,6 @@ def save_checkpoint(save_dir: str, state: TrainState, epoch: int,
         "opt_state": state.opt_state,
         "epoch": np.asarray(epoch),
     }
-    if extra:
-        payload["extra"] = extra
     save_payload(save_dir, payload, epoch)
 
 
@@ -229,7 +229,6 @@ def import_torch_faster_rcnn(params, torch_state: Dict[str, "np.ndarray"],
         idx = tname.split(".")[1]
         w = torch_state.get(f"backbone.{idx}.weight")
         b = torch_state.get(f"backbone.{idx}.bias")
-        ours = ours.replace("trunk/", "trunk/")
         if w is not None:
             flat[f"{ours}/kernel"] = np.transpose(np.asarray(w), (2, 3, 1, 0))
         if b is not None:
@@ -469,19 +468,6 @@ def import_torch_resnet50_fpn(variables, torch_state: Dict[str, np.ndarray],
 # structurally; the spectral-normed discriminators map through the
 # weight_orig/u/v reparameterization (see _snconv_updates).
 
-def _bn1d_updates(tname: str, ours: str,
-                  ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    out = {}
-    for sfx, key in ((".weight", f"params/{ours}/scale"),
-                     (".bias", f"params/{ours}/bias"),
-                     (".running_mean", f"batch_stats/{ours}/mean"),
-                     (".running_var", f"batch_stats/{ours}/var")):
-        v = ts.get(tname + sfx)
-        if v is not None:
-            out[key] = np.asarray(v)
-    return out
-
-
 def gan_generator_flat_updates(
         torch_state: Dict[str, np.ndarray], num_gcn_layers: int = 5,
         batch_norm: bool = True) -> Dict[str, np.ndarray]:
@@ -507,10 +493,10 @@ def gan_generator_flat_updates(
             base_o = f"gcn/gconv_{i}/{net}"
             if batch_norm:
                 lin_idx = ("0", "3")
-                flat.update(_bn1d_updates(
+                flat.update(_bn_updates(
                     f"{base_t}.1", f"{base_o}/MaskedBatchNorm_0", ts))
                 if not final:
-                    flat.update(_bn1d_updates(
+                    flat.update(_bn_updates(
                         f"{base_t}.4", f"{base_o}/MaskedBatchNorm_1", ts))
             else:
                 # without BN: [Linear, ReLU, Linear(, ReLU)] -> 0 and 2
@@ -531,10 +517,10 @@ def gan_generator_flat_updates(
         base_o = f"refine/mod{i}"
         flat.update(_conv_updates(f"{base_t}.0", f"params/{base_o}/conv0",
                                   ts))
-        flat.update(_bn1d_updates(f"{base_t}.1", f"{base_o}/bn0", ts))
+        flat.update(_bn_updates(f"{base_t}.1", f"{base_o}/bn0", ts))
         flat.update(_conv_updates(f"{base_t}.3", f"params/{base_o}/conv1",
                                   ts))
-        flat.update(_bn1d_updates(f"{base_t}.4", f"{base_o}/bn1", ts))
+        flat.update(_bn_updates(f"{base_t}.4", f"{base_o}/bn1", ts))
     flat.update(_conv_updates("G_refine.output_conv.0",
                               "params/refine/output_conv", ts))
     return flat

@@ -31,7 +31,6 @@ from flax import struct
 
 from sgg_tpu.config import Config
 from sgg_tpu.data.graph_batch import GraphBatch
-from sgg_tpu.ops.boxes import scale_boxes_01
 from sgg_tpu.train.assign import sample_edges
 from sgg_tpu.train.losses import edge_losses, node_losses
 from sgg_tpu.train.state import TrainState
@@ -135,7 +134,22 @@ def make_gan_train_step(model, gan, config: Config):
         metrics.update(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
 
-        boxes01 = scale_boxes_01(batch.boxes, batch.im_hw)
+        # Layout frame: normalize by the PADDED canvas side, not the
+        # per-image content size. The generator paints [0,1]^2 onto the
+        # full fmap canvas while RoIAlign/D_global read the fake fmap in
+        # the padded IM_SCALE/stride frame (same as the real trunk fmap,
+        # whose content occupies a sub-rectangle of the SquarePad canvas);
+        # content-relative normalization would stretch every non-square
+        # image's fake content over the whole canvas. The reference's
+        # matching pipeline normalizes by the IM_SCALE constant
+        # (rel_model_base.py:264-265, vgg16_old = the SquarePad pipeline
+        # this framework rebuilds).
+        if batch.images is not None:
+            canvas = max(batch.images.shape[1], batch.images.shape[2])
+        else:  # feature-cache batches: canvas = fmap extent * stride
+            from sgg_tpu.constants import STRIDE
+            canvas = max(batch.fmaps.shape[1], batch.fmaps.shape[2]) * STRIDE
+        boxes01 = batch.boxes / canvas
 
         # ---------------- phase 2: G update -----------------------------
         def g_loss_fn(gan_params, sgg_params):
@@ -195,22 +209,33 @@ def make_gan_train_step(model, gan, config: Config):
             aux = (g_losses, g_mut,
                    jax.lax.stop_gradient(fmaps_fake),
                    jax.lax.stop_gradient(nodes_fake),
-                   jax.lax.stop_gradient(edges_fake))
+                   jax.lax.stop_gradient(edges_fake),
+                   jax.lax.stop_gradient(sgg_mut["batch_stats"]))
             return total, aux
 
         if use_G or use_rec:
-            (_, (g_losses, g_mut, fmaps_fake, nodes_fake, edges_fake)), \
+            (_, (g_losses, g_mut, fmaps_fake, nodes_fake, edges_fake,
+                 fake_stats)), \
                 (g_grads, sgg_grads) = jax.value_and_grad(
                     g_loss_fn, argnums=(0, 1), has_aux=True)(
                         state.gan_params, sgg.params)
             g_updates, g_opt_state = state.g_tx.update(
                 g_grads, state.g_opt_state, state.gan_params)
             gan_params = optax.apply_updates(state.gan_params, g_updates)
-            metrics["grad_norm_G"] = optax.global_norm(g_grads)
+            # G health: norm over the generator's own gradients — the
+            # adversarial losses also produce (discarded-by-multi_transform)
+            # gradients on the D params, which would inflate a whole-tree
+            # norm
+            metrics["grad_norm_G"] = optax.global_norm(
+                {k: v for k, v in g_grads.items() if k.startswith("G")})
             gan_stats = g_mut["batch_stats"]
             if use_rec:
                 # reconstruction also updates the SGG model (main.py:173-176)
                 sgg = sgg.apply_gradients(sgg_grads)
+            # BN running stats also advance on the fake-feature forward —
+            # the reference's predict() on fakes runs in train mode
+            # (main.py:144-149)
+            sgg = sgg.replace(batch_stats=fake_stats)
             metrics.update(g_losses)
         else:
             gan_vars = {"params": state.gan_params,
@@ -220,11 +245,12 @@ def make_gan_train_step(model, gan, config: Config):
                 batch.node_mask, batch.rel_mask,
                 vis_features=vis_features, train=True,
                 mutable=["batch_stats"], method=gan.generate)
-            out_fake, _ = model.apply(
+            out_fake, sgg_mut = model.apply(
                 {"params": sgg.params, "batch_stats": sgg.batch_stats},
                 None, batch.boxes, fake_classes, pairs, pair_mask,
                 fmap=fmaps_fake, train=True, rngs={"dropout": k_drop2},
                 mutable=["batch_stats"], return_feats=True)
+            sgg = sgg.replace(batch_stats=sgg_mut["batch_stats"])
             nodes_fake = out_fake["node_pool"]
             edges_fake = out_fake["edge_pool"]
             gan_params, g_opt_state = state.gan_params, state.g_opt_state

@@ -132,7 +132,6 @@ class Trainer:
         """GAN assembly (reference main.py:65-76, sgp at :131)."""
         from sgg_tpu.constants import IM_SCALE, STRIDE
         from sgg_tpu.models.gan import GANModel
-        from sgg_tpu.ops.boxes import scale_boxes_01
         from sgg_tpu.train.gan_step import (create_gan_state,
                                             make_gan_train_step)
 
@@ -161,7 +160,10 @@ class Trainer:
                              max_edges=cfg.max_edges,
                              with_images=self.with_images, shuffle=False)
         batch = next(iter(loader))
-        boxes01 = scale_boxes_01(batch.boxes, batch.im_hw)
+        # padded-canvas frame, matching the gan_step layout normalization
+        canvas = (max(batch.images.shape[1], batch.images.shape[2])
+                  if batch.images is not None else IM_SCALE)
+        boxes01 = batch.boxes / canvas
         vis = None
         if cfg.vis_cond is not None:
             from sgg_tpu.augment.feature_bank import FeatureBank
@@ -254,8 +256,16 @@ class Trainer:
             variables = self.model.init(
                 jax.random.key(cfg.seed), batch.images, batch.boxes,
                 batch.classes, sampled[..., :2], pm, train=False)
-        return create_train_state(self.config, variables,
-                                  steps_per_epoch=self.steps_per_epoch)
+        # the MultiStep LR schedule counts OPTIMIZER UPDATES; under -gan
+        # with 'rec' the SGG optimizer steps twice per batch (F phase +
+        # reconstruction, reference main.py:116-120,173-176 — its epoch-
+        # counting MultiStepLR is unaffected, so the boundaries here must
+        # scale by updates/batch to decay at the same epochs)
+        upd_per_batch = 2 if (self.config.gan
+                              and "rec" in self.config.ganlosses) else 1
+        return create_train_state(
+            self.config, variables,
+            steps_per_epoch=self.steps_per_epoch * upd_per_batch)
 
     @property
     def variables(self):

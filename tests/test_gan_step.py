@@ -79,6 +79,11 @@ def test_gan_step_from_cached_fmaps_matches_image_path():
     from sgg_tpu.models.backbone import VGG16Trunk
 
     config, model, gan, gb, state = _setup()
+    # non-square CONTENT inside the square canvas: the layout frame must
+    # be the padded canvas (identical for the image batch and the
+    # fmaps-only batch), not the per-image content size
+    gb = dc.replace(gb, im_hw=np.asarray([[128.0, 96.0], [100.0, 128.0]],
+                                         np.float32))
     trunk = VGG16Trunk(dtype=jnp.float32)
     fmaps = jax.jit(lambda v, x: trunk.apply(v, x))(
         {"params": state.sgg.params["trunk"]}, gb.images)

@@ -34,13 +34,27 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError) as e:
-        # already initialized / single-process environment
-        print(f"jax.distributed.initialize skipped: {e}")
+    except RuntimeError as e:
+        # tolerate ONLY the already-initialized case; a connect failure /
+        # bad coordinator must be loud — swallowing it would degrade the
+        # pod into N independent single-process runs that silently train
+        # diverging model copies
+        if "already initialized" in str(e).lower():
+            print(f"jax.distributed.initialize skipped: {e}")
+            return
+        raise
 
 
 def process_local_indices(n: int, batch_size: int) -> np.ndarray:
-    """The slice of each global batch this host is responsible for."""
+    """The slice of each global batch this host is responsible for.
+
+    ``batch_size`` must divide evenly across processes — a silent
+    floor-division would shrink the global batch below the jitted step's
+    shape. Indices wrap modulo ``n`` only for datasets smaller than the
+    batch (tiny smoke runs)."""
+    assert batch_size % jax.process_count() == 0, (
+        f"batch_size {batch_size} not divisible by "
+        f"{jax.process_count()} processes")
     per_host = batch_size // jax.process_count()
     start = jax.process_index() * per_host
     return np.arange(start, start + per_host) % max(n, 1)

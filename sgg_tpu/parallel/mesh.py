@@ -23,7 +23,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    """1-D data-parallel mesh over the first ``num_devices`` devices.
+
+    ``num_devices`` None or 0 = all visible devices (matching the config
+    convention, ``Config.num_devices`` "0 = all")."""
     devices = jax.devices()
     if num_devices:
         devices = devices[:num_devices]
@@ -97,16 +100,28 @@ def make_mesh_2d(data: int, edge: int,
 def shard_batch_edges(batch, mesh: Mesh, data_axis: str = "data",
                       edge_axis: str = "edge"):
     """GraphBatch placement: images/nodes sharded on the batch axis only;
-    edge arrays sharded on (batch, edge)."""
+    edge arrays sharded on (batch, edge).
+
+    Multi-host meshes take the ``make_array_from_callback`` path (every
+    process passes the same host-replicated batch), like ``shard_batch`` —
+    ``device_put`` cannot target non-addressable devices."""
     dp = NamedSharding(mesh, P(data_axis))
     dp_edge = NamedSharding(mesh, P(data_axis, edge_axis))
+    multi = is_multiprocess(mesh)
+
+    def put(x, sharding):
+        if multi:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding,
+                                                lambda idx: x[idx])
+        return jax.device_put(x, sharding)
 
     def place(name, x):
         if x is None:
             return None
         if name in ("rels", "rel_mask"):
-            return jax.device_put(x, dp_edge)
-        return jax.device_put(x, dp)
+            return put(x, dp_edge)
+        return put(x, dp)
 
     import dataclasses
     return dataclasses.replace(

@@ -43,8 +43,23 @@ def test_duplicate_detections_penalized():
     res = ev.results()
     # recall reaches 1 with precision 1 at rank 1 -> AP stays 1.0 under
     # interpolation; check instead that precision at rank 2 dropped
-    entries = ev._dets[1]
-    assert [e[2] for e in entries] == [True, False]
+    entries = ev._dets[1]  # (score, tp-flags-over-ious) per detection
+    assert [bool(e[1][0]) for e in entries] == [True, False]
+
+
+def test_max_dets_cap():
+    """pycocotools maxDets: only the top-100 detections per (image, class)
+    are scored; low-ranked extras must not extend the PR curve."""
+    rng = np.random.RandomState(0)
+    ev = DetectionEvaluator(num_classes=2, ious=(0.5,), max_dets=100)
+    gt = np.asarray([[0, 0, 10, 10.0]])
+    det = np.tile(np.asarray([[0, 0, 10, 10.0]]), (150, 1))
+    det += rng.rand(150, 4) * 0.01
+    scores = np.linspace(0.9, 0.1, 150)
+    ev.add_image(det, np.ones(150, np.int64), scores, gt,
+                 np.asarray([1]))
+    assert len(ev._dets[1]) == 100
+    assert min(s for s, _ in ev._dets[1]) >= scores[99] - 1e-9
 
 
 def test_ranking_matters():

@@ -587,7 +587,7 @@ def _bench_detector_pretrain(B: int = 8):
                        params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]), tx=tx)
-    step = make_detector_train_step(det, None)
+    step = make_detector_train_step(det)
     for i in range(2):
         state, metrics = step(state, gb, jax.random.key(i))
     assert np.isfinite(float(metrics["total"]))

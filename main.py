@@ -70,16 +70,12 @@ def main():
         # load the pretrained detector (reference: sgdet refuses to start
         # without one, pytorch_misc.py:210-211)
         assert config.ckpt, "-ckpt must point to a pretrained detector dir"
-        from sgg_tpu.data.pipeline import BatchLoader
         from sgg_tpu.models.detector import FasterRCNNFPN, FasterRCNNVGG
         from sgg_tpu.train.checkpoint import restore_payload
         cls = FasterRCNNVGG if config.backbone == "vgg16" else FasterRCNNFPN
         detector = cls(num_classes=splits["train"].num_classes)
-        loader = BatchLoader(splits["train"], batch_size=1,
-                             max_nodes=config.max_nodes, max_edges=1)
-        batch = next(iter(loader))
-        det_variables = detector.init(jax.random.key(0), batch.images,
-                                      batch.im_hw, train=False)
+        # restore_payload needs no template — a detector.init forward here
+        # would be discarded immediately
         restored, epoch = restore_payload(config.ckpt)
         assert epoch >= 0, f"no detector checkpoint found in {config.ckpt}"
         det_variables = {"params": restored["params"],

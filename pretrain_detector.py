@@ -17,7 +17,7 @@ from typing import Dict
 import numpy as np
 
 
-def make_detector_train_step(detector, config):
+def make_detector_train_step(detector):
     import jax
     import jax.numpy as jnp
     import optax
@@ -28,10 +28,16 @@ def make_detector_train_step(detector, config):
         k_rpn, k_roi = jax.random.split(key)
 
         def loss_fn(params):
+            # train=False on the detector forward: torchvision's
+            # pretrained detectors normalize with FrozenBatchNorm (running
+            # stats, never updated — the reference fine-tunes
+            # maskrcnn_resnet50_fpn that way) and its FPN box head has no
+            # dropout; train-mode BN here would also require threading
+            # batch_stats mutations. The training randomness lives in the
+            # RPN/RoI target SAMPLERS below (k_rpn/k_roi), not the forward.
             out = detector.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch.images, batch.im_hw, train=True,
-                rngs={"dropout": key})
+                batch.images, batch.im_hw, train=False)
             losses: Dict[str, jnp.ndarray] = {}
             losses.update(rpn_losses(k_rpn, out["anchors"],
                                      out["rpn_obj_logits"],
@@ -73,13 +79,19 @@ def pretrain(splits, *, num_epochs: int = 10, batch_size: int = 3,
     import optax
 
     from sgg_tpu.data.pipeline import BatchLoader
-    from sgg_tpu.models.detector import FasterRCNNVGG
     from sgg_tpu.train import checkpoint as ckpt
     from sgg_tpu.train.state import TrainState
 
     train_data = splits["train"]
     if detector is None:
-        detector = FasterRCNNVGG(num_classes=train_data.num_classes)
+        # the reference pretrains torchvision's resnet50-FPN for BOTH VG
+        # and GQA (reference pretrain_detector.py:82); the VGG16 detector
+        # comes from the imported Zellers checkpoint, not pretraining —
+        # and non-stanford sgdet REQUIRES resnet50 (config.py backbone
+        # assert), so a VGG default here would produce a checkpoint the
+        # sgdet path could never load
+        from sgg_tpu.models.detector import FasterRCNNFPN
+        detector = FasterRCNNFPN(num_classes=train_data.num_classes)
 
     loader = BatchLoader(train_data, batch_size=batch_size,
                          max_nodes=max_nodes, max_edges=1,
@@ -108,7 +120,7 @@ def pretrain(splits, *, num_epochs: int = 10, batch_size: int = 3,
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]), tx=tx)
 
-    step_fn = make_detector_train_step(detector, None)
+    step_fn = make_detector_train_step(detector)
     for epoch in range(num_epochs):
         key = jax.random.key(epoch)
         t0 = time.time()
@@ -135,12 +147,16 @@ def main():
     import sys
     dataset, data_dir, results_dir = sys.argv[1:4]
     assert dataset in ("vg", "gqa"), dataset
+    # only the train split is consumed — skip the five eval-split parses
+    # (zero/k-shot filtering over the full scene-graph dicts) the full
+    # splits() builder would pay for nothing
     if dataset == "gqa":
-        from sgg_tpu.data import gqa as dsmod
+        from sgg_tpu.data import gqa
+        train = gqa.load_split(gqa._GQAFiles(data_dir), "train")
     else:
-        from sgg_tpu.data import visual_genome as dsmod
-    splits = dsmod.splits(data_dir)
-    pretrain(splits, save_dir=results_dir)
+        from sgg_tpu.data import visual_genome as vg
+        train = vg.load_split(data_dir, "train")
+    pretrain({"train": train}, save_dir=results_dir)
 
 
 if __name__ == "__main__":

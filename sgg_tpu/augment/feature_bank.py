@@ -71,15 +71,21 @@ class FeatureBank:
     def sample(self, classes: np.ndarray,
                node_mask: Optional[np.ndarray] = None) -> np.ndarray:
         """classes (B, N) -> (B, N, p, p, n_ch) random real features of the
-        same classes; zeros for classes absent from the bank / padding."""
+        same classes; zeros for classes absent from the bank / padding.
+
+        One gather per class present in the batch (not per node — this
+        runs on the host every GAN step)."""
         B, N = classes.shape
+        classes = np.asarray(classes)
         dim = self.pool_sz * self.pool_sz * self.n_ch
         out = np.zeros((B, N, dim), np.float32)
-        for b in range(B):
-            for i in range(N):
-                if node_mask is not None and not node_mask[b, i]:
-                    continue
-                rows = self.reservoir.get(int(classes[b, i]))
-                if rows is not None:
-                    out[b, i] = rows[self.rng.randint(len(rows))]
+        valid = (np.asarray(node_mask, bool) if node_mask is not None
+                 else np.ones((B, N), bool))
+        for c in np.unique(classes[valid]):
+            rows = self.reservoir.get(int(c))
+            if rows is None:
+                continue
+            sel = valid & (classes == c)
+            n = int(sel.sum())
+            out[sel] = rows[self.rng.randint(len(rows), size=n)]
         return out.reshape(B, N, self.pool_sz, self.pool_sz, self.n_ch)

@@ -5,8 +5,10 @@ Rebuild of ``/root/reference/dataloaders/gqa.py`` + the GQA branch of
 per-image contract, builds the vocabulary from the union of train+val scene
 graphs (1704 object classes incl. background in the full dataset), supports
 excluding ``to the left of``/``to the right of`` predicates, and maps
-modes as the reference does — val = last 5k of the train scene graphs,
-test = GQA val (GQA has no public test SGs).
+modes as the reference does — val = the first ``num_val_im`` (5k) of the
+train scene-graph image list, train = the remainder, test = GQA val (GQA
+has no public test SGs; the reference's own comment says "last 5k" but
+its code slices the FIRST 5k, visual_genome.py:106-109).
 """
 
 from __future__ import annotations
@@ -191,11 +193,28 @@ def load_split(files: _GQAFiles, mode: str, num_val_im: int = 5000,
 
 
 def splits(data_dir: str, **kwargs) -> Dict[str, SGGDataset]:
-    """Train + eval splits (no 10/100-shot for GQA, visual_genome.py:352)."""
+    """Train + eval splits (no 10/100-shot for GQA, visual_genome.py:352).
+
+    Like the VG builder, zero-shot filtering uses the UNFILTERED train
+    triplet statistics when graph-size filters alter the train set
+    (reference train_orig, visual_genome.py:324-333) — otherwise triplets
+    seen only in filtered-out training images would wrongly count as
+    zero-shot."""
     files = _GQAFiles(data_dir)
+    filtered = (kwargs.get("min_graph_size", -1) > -1
+                or kwargs.get("max_graph_size", -1) > -1)
+    orig_counts = None
+    if filtered:
+        orig = load_split(files, "train",
+                          **{**kwargs, "min_graph_size": -1,
+                             "max_graph_size": -1})
+        orig_counts = orig.triplet_counts
 
     def loader(mode, training_triplets=None, n_shots=-1):
-        return load_split(files, mode, training_triplets=training_triplets,
-                          n_shots=n_shots, **kwargs)
+        ds = load_split(files, mode, training_triplets=training_triplets,
+                        n_shots=n_shots, **kwargs)
+        if mode == "train" and orig_counts is not None:
+            ds.triplet_counts = dict(orig_counts)
+        return ds
 
     return build_eval_splits(loader, with_10_100=False)

@@ -130,12 +130,26 @@ def load_split(graphs_file: str, images_dir: str, mode: str,
 
 
 def splits(data_dir: str, **kwargs) -> Dict[str, SGGDataset]:
+    """Zero-shot filtering uses UNFILTERED train statistics when
+    graph-size filters alter the train set (reference train_orig,
+    visual_genome.py:324-333) — see gqa.splits."""
     graphs_file = os.path.join(data_dir, "VG", "vtranse", "vg1_2_meta.h5")
     images_dir = os.path.join(data_dir, "VG", "VG_100K")
+    filtered = (kwargs.get("min_graph_size", -1) > -1
+                or kwargs.get("max_graph_size", -1) > -1)
+    orig_counts = None
+    if filtered:
+        orig = load_split(graphs_file, images_dir, "train",
+                          **{**kwargs, "min_graph_size": -1,
+                             "max_graph_size": -1})
+        orig_counts = orig.triplet_counts
 
     def loader(mode, training_triplets=None, n_shots=-1):
-        return load_split(graphs_file, images_dir, mode,
-                          training_triplets=training_triplets,
-                          n_shots=n_shots, **kwargs)
+        ds = load_split(graphs_file, images_dir, mode,
+                        training_triplets=training_triplets,
+                        n_shots=n_shots, **kwargs)
+        if mode == "train" and orig_counts is not None:
+            ds.triplet_counts = dict(orig_counts)
+        return ds
 
     return build_eval_splits(loader, with_10_100=False)

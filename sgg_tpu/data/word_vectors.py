@@ -71,12 +71,18 @@ def obj_edge_vectors(names: Sequence[str], wv_dir: str = "",
         word_vectors = load_word_vectors(wv_dir, dim=wv_dim)
     out = np.zeros((len(names), wv_dim), np.float32)
     for i, name in enumerate(names):
-        words = name.replace("_", " ").replace("-", " ").lower().split()
+        token = name.lower()
+        # reference lookup order (word_vectors.py:26-51): the WHOLE token
+        # first (hyphenated names like 't-shirt' can be single GloVe
+        # entries), then word-averaging, then the longest word
+        words = token.split(" ")
         vecs: List[np.ndarray] = []
         if word_vectors is not None:
-            if avg_words:
+            if token in word_vectors:
+                vecs = [word_vectors[token]]
+            elif avg_words and len(words) > 1:
                 vecs = [word_vectors[w] for w in words if w in word_vectors]
-            else:
+            if not vecs:
                 for w in sorted(words, key=len, reverse=True):
                     if w in word_vectors:
                         vecs = [word_vectors[w]]

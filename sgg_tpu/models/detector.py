@@ -230,9 +230,10 @@ class FasterRCNNVGG(nn.Module):
         pooled = roi_align(fmap, proposals,
                            spatial_scale=1.0 / self.stride,
                            pooled=self.pool_size)
+        # torchvision TwoMLPHead semantics: fc6-relu-fc7-relu, no dropout
         feats = RoiHead(out_dim=self.obj_dim, with_final_relu=True,
-                        dtype=self.dtype, name="box_head")(pooled,
-                                                           train=train)
+                        dropout_rate=0.0, dtype=self.dtype,
+                        name="box_head")(pooled, train=train)
         class_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                                 name="cls_score")(
             feats.astype(jnp.float32))
@@ -355,9 +356,10 @@ class FasterRCNNFPN(nn.Module):
         pooled = multiscale_roi_align(
             [pyramid[l] for l in self.LEVELS[:4]], proposals,
             self.STRIDES[:4], pooled=self.pool_size)
+        # torchvision TwoMLPHead semantics: fc6-relu-fc7-relu, no dropout
         feats = RoiHead(out_dim=self.obj_dim, with_final_relu=True,
-                        dtype=self.dtype, name="box_head")(pooled,
-                                                           train=train)
+                        dropout_rate=0.0, dtype=self.dtype,
+                        name="box_head")(pooled, train=train)
         class_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                                 name="cls_score")(feats.astype(jnp.float32))
         box_deltas = nn.Dense(self.num_classes * 4, dtype=jnp.float32,

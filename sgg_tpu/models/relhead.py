@@ -202,12 +202,24 @@ class RelModelIMP(nn.Module):
         union_pool = union_pool + union_feats(pair_boxes, im_hw=im_hw,
                                               train=train)
 
-        node_feat = RoiHead(out_dim=self.obj_dim, with_final_relu=True,
-                            dtype=self.dtype,
-                            name="roi_fmap_obj")(node_pool, train=train)
-        edge_feat = RoiHead(out_dim=self.obj_dim, with_final_relu=False,
-                            dtype=self.dtype,
-                            name="roi_fmap")(union_pool, train=train)
+        # vgg16: roi_fmap_obj = full VGG classifier (fc6-relu-drop-fc7-
+        # relu-drop), roi_fmap = fc6-relu-drop-fc7 (load_vgg with
+        # use_dropout/use_relu False removes only the SECOND drop/relu,
+        # rel_model_base.py:310-321). resnet50: BOTH heads are copies of
+        # torchvision's TwoMLPHead — final relu, NO dropout
+        # (rel_model_base.py:78-80).
+        if self.backbone == "resnet50":
+            head_kw = dict(with_final_relu=True, dropout_rate=0.0)
+            edge_kw = dict(head_kw)
+        else:
+            head_kw = dict(with_final_relu=True)
+            edge_kw = dict(with_final_relu=False)
+        node_feat = RoiHead(out_dim=self.obj_dim, dtype=self.dtype,
+                            name="roi_fmap_obj",
+                            **head_kw)(node_pool, train=train)
+        edge_feat = RoiHead(out_dim=self.obj_dim, dtype=self.dtype,
+                            name="roi_fmap",
+                            **edge_kw)(union_pool, train=train)
 
         obj_logits, rel_logits = IMPHead(
             num_classes=self.num_classes,

@@ -203,15 +203,17 @@ def make_sgdet_train_step(detector, relmodel, config: Config,
 
     TWO jitted programs, not one: the detector forward runs in its own
     jit and hands its (stop_gradient'ed) outputs device-resident to the
-    assign+rel-head+update program. On this toolchain, fusing the frozen
-    detector and the relation head into ONE program faults the TPU worker
-    whenever the edge axis is small (bisected 2026-08: the composed
-    program at E=64 or E=256 sampled edges crashes — "kernel fault" — the
-    identical program at E=2450 runs, and the rel head alone at E=64
-    runs). Splitting sidesteps the faulting fusion at zero transfer cost
-    (the boundary is stop_gradient'ed and intermediates never leave the
-    device); measured 142 img/s at B=8 on v5e where the fused program
-    cannot execute at all.
+    assign+rel-head+update program. On the 2026-08 toolchain snapshot,
+    fusing the frozen detector and the relation head into ONE program
+    faulted the TPU worker whenever the edge axis was small (bisected:
+    E=64/E=256 crashed, E=2450 ran, the rel head alone at E=64 ran).
+    REPROBED later in round 3 (after the aligned-top_k and rounds-NMS
+    rewrites changed the detector's codegen): the fused program now RUNS
+    at E=256 — at the same throughput as this split (183.7 vs 182.7
+    img/s at B=8), because the split boundary is zero-cost (stop_gradient
+    frontier, intermediates stay device-resident). The split is retained:
+    equal speed, and immune to the fault composition returning on a
+    future toolchain.
     """
     loss_weights = (config.alpha, config.beta, config.gamma)
 

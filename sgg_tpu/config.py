@@ -169,6 +169,13 @@ class Config:
         if self.gan:
             assert len(self.ganlosses) > 0, (
                 "at least one GAN loss must be specified to train GAN", self.ganlosses)
+            # the GAN stack is built for the vgg16 fmap geometry
+            # (512ch/37x37, the reference's published -gan runs); the
+            # resnet50 trunk emits 256ch stride-64 maps — silently
+            # training D_global on mismatched real/fake scales would be
+            # worse than failing fast
+            assert self.backbone == "vgg16", (
+                "-gan requires the vgg16 backbone", self.backbone)
         assert self.max_nodes >= 2 and self.max_edges >= 1
         if self.feature_cache is not None:
             if self.mode == "sgdet":

@@ -70,7 +70,8 @@ class RefinementModule(nn.Module):
             x = nn.Conv(self.output_dim, (3, 3), padding=1, dtype=self.dtype,
                         kernel_init=nn.initializers.kaiming_normal(),
                         name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            # torch BatchNorm2d default momentum 0.1 == flax momentum 0.9
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.leaky_relu(x, self.negative_slope)
         return x

@@ -88,22 +88,27 @@ class GlobalDiscriminator(nn.Module):
             pad = 0 if v.shape[-3] >= 3 else 1
             return SNConv(ch, 3, pad, self.dtype)(v, train=train)
 
-        def pool(v):
-            return avg_pool_ceil(v, 2) if v.shape[-3] >= 6 else v
+        # only the FIRST (fmap_sz>24) pool is ceil-mode in the reference;
+        # the later two are plain AvgPool2d(2) = floor mode
+        # (gan.py:91,96,101) — they differ at odd sizes (e.g. the resnet50
+        # fmap trace 21: ...17 ->floor 8 ->6 ->3 ->1)
+        def pool_floor(v):
+            return (nn.avg_pool(v, (2, 2), strides=(2, 2))
+                    if v.shape[-3] >= 6 else v)
 
         x = act(conv3(x, c // 2))
         if self.large:
             x = act(SNConv(c // 2, 1, 0, self.dtype)(x, train=train))
         if self.fmap_sz > 24:
-            x = pool(x)
+            x = avg_pool_ceil(x, 2) if x.shape[-3] >= 6 else x
         x = act(conv3(x, c // 2))
         if self.large:
             x = act(SNConv(c // 2, 1, 0, self.dtype)(x, train=train))
-        x = pool(x)
+        x = pool_floor(x)
         x = act(conv3(x, c // 4))
         if self.large:
             x = act(SNConv(c // 4, 1, 0, self.dtype)(x, train=train))
-        x = pool(x)
+        x = pool_floor(x)
         x = conv3(x, 1)
         # 1x1 at the reference sizes; mean is then the identity
         return x.mean(axis=(-3, -2))

@@ -46,10 +46,13 @@ class MaskedBatchNorm(nn.Module):
             var = (((x - mean) ** 2) * m).sum(
                 axis=tuple(range(x.ndim - 1))) / n
             if not self.is_initializing():
+                # torch BatchNorm1d tracks the UNBIASED (n-1) variance in
+                # its running stats (normalization itself stays biased)
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * var)
+                                + (1 - self.momentum) * unbiased)
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) / jnp.sqrt(var + self.epsilon)

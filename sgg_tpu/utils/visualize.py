@@ -84,17 +84,36 @@ def show_nx(classes: np.ndarray, rels: np.ndarray,
             edgecolors.append([200, *node_colors[-1]])
             widths.append(1)
 
-    edge_labels = {}
-    seen_pairs = set()
+    # duplicate-(s,o) collapse keeping the first predicate
+    # (reference filter_dups(random_edge=False), visualize.py:68)
+    first = {}
     for s, o, p in rels:
-        if (s, o) in seen_pairs:
-            continue
-        seen_pairs.add((int(s), int(o)))
+        first.setdefault((int(s), int(o)), int(p))
+
+    edge_labels = {}
+    fwd_seen = set()
+    for (s, o), p in first.items():
         key = f"{classes[s]}_{p}_{classes[o]}"
-        is_zs = key in zs or (counts and key not in counts)
-        G.add_edge(int(s), int(o), color="red" if is_zs else "blue",
-                   weight=8.0 if is_zs else 1.0)
-        edge_labels[(int(s), int(o))] = \
+        is_zs = key in zs
+        not_in_train = bool(counts) and key not in counts
+        # single-edge-per-node-pair heuristic (visualize.py:104-111):
+        # when the REVERSE edge is already drawn, remove it — unless this
+        # edge is unremarkable and the reverse is labeled 'near'
+        if (o, s) in fwd_seen:
+            rev_label = edge_labels.get((o, s), "")
+            if is_zs or rev_label.split("-")[0] != "near":
+                G.remove_edge(o, s)
+                del edge_labels[(o, s)]
+                fwd_seen.discard((o, s))
+            else:
+                continue
+        fwd_seen.add((s, o))
+        # color: red = absent from training; width tiers 8 (zero-shot) /
+        # 2 (not in train) / 1 (visualize.py:115-117)
+        G.add_edge(s, o,
+                   color="red" if not_in_train or is_zs else "blue",
+                   weight=8.0 if is_zs else (2.0 if not_in_train else 1.0))
+        edge_labels[(s, o)] = \
             f"{ind_to_predicates[p]}-{counts.get(key, 0)}"
 
     pos = nx.circular_layout(G)
@@ -107,7 +126,7 @@ def show_nx(classes: np.ndarray, rels: np.ndarray,
     nx.draw(G, pos=pos, with_labels=False, node_size=2000,
             node_color=np.asarray(node_colors)[:, ::-1] / 255.0, alpha=0.6,
             edge_color=colors, width=weights,
-            edgecolors=np.asarray(edgecolors)[:, :3][:, ::-1] / 255.0,
+            edgecolors=np.asarray(edgecolors)[:, ::-1] / 255.0,
             linewidths=widths, arrowstyle="-|>", arrowsize=35, ax=ax)
     nx.draw_networkx_labels(G, pos=pos, labels=node_labels,
                             font_weight="bold",

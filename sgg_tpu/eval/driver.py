@@ -152,11 +152,11 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
         if det_variables is not None:
             det_variables = replicate(det_variables, mesh)
 
-    def get_eval_step(m, budget):
-        key = (m, budget)
+    def get_eval_step(m, budget, dedup=True):
+        key = (m, budget, dedup)
         if key not in step_cache:
             step_cache[key] = make_eval_step(model, mode=m,
-                                             max_pairs=budget)
+                                             max_pairs=budget, dedup=dedup)
         return step_cache[key]
 
     for m in eval_modes:
@@ -210,16 +210,26 @@ def val_epoch(model, variables, dataset: SGGDataset, config: Config,
                 counters.bump("eval_ladder_batches")
                 counters.bump("eval_ladder_dense" if budget is None
                               else f"eval_ladder_rung_{budget}")
-                out = get_eval_step(m, budget)(variables, batch)
-                if mesh is not None and mesh_spans_processes:
-                    # multi-host DP eval: outputs are sharded across
-                    # processes; gather the full value on every host so
-                    # the numpy evaluator sees all images (each host then
-                    # computes identical metrics)
-                    from jax.experimental import multihost_utils
-                    # tiled=True: global arrays are fetched as their full
-                    # value (the only supported mode for them)
-                    out = multihost_utils.process_allgather(out, tiled=True)
+                for dedup in (True, False):
+                    out = get_eval_step(m, budget, dedup)(variables, batch)
+                    if mesh is not None and mesh_spans_processes:
+                        # multi-host DP eval: outputs are sharded across
+                        # processes; gather the full value on every host so
+                        # the numpy evaluator sees all images (each host
+                        # then computes identical metrics)
+                        from jax.experimental import multihost_utils
+                        # tiled=True: global arrays are fetched as their
+                        # full value (the only supported mode for them)
+                        out = multihost_utils.process_allgather(out,
+                                                                tiled=True)
+                    # unordered-union dedup exactness check: all-pairs
+                    # enumerations are swap-closed so this never fires in
+                    # practice; the fallback keeps eval exact regardless
+                    if dedup and not bool(
+                            np.all(np.asarray(out.get("dedup_ok", True)))):
+                        counters.bump("eval_dedup_fallback")
+                        continue
+                    break
                 node_mask = gt_node_mask
                 boxes = gt_boxes_b
             obj_scores = np.asarray(out["obj_scores"], np.float32)

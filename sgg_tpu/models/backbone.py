@@ -66,6 +66,16 @@ class RoiHead(nn.Module):
     minus the class layer: fc6-relu-drop-fc7-relu-drop); ``False`` replicates
     ``roi_fmap`` for edges (fc6-relu-drop-fc7, rel_model_base.py:310-321 via
     ``load_vgg(use_dropout=False, use_relu=False)``).
+
+    The extra kwargs serve the unordered-union dedup of the relation head
+    (``train/assign.unordered_union_index``): ``gather_idx`` expands a
+    deduplicated fc6 output back to every ordered edge slot right after the
+    big (P·P·C → out) matmul, and ``broadcast_add`` routes a per-edge
+    feature that is spatially CONSTANT over the pool window (the faithful
+    stride-16 rects conv output, a (…, C) vector broadcast over P×P)
+    through the algebraically-equivalent low-rank matmul
+    ``v @ sum_spatial(fc6.kernel)`` instead of the full fc6 — fc6 is linear
+    before its ReLU, so ``fc6(pool + bcast(v)) == fc6(pool) + v @ K_sum``.
     """
 
     out_dim: int = 4096
@@ -74,9 +84,20 @@ class RoiHead(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 gather_idx: jnp.ndarray = None,
+                 broadcast_add: jnp.ndarray = None) -> jnp.ndarray:
         x = x.reshape(*x.shape[:-3], -1).astype(self.dtype)  # flatten RoI
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc6")(x)
+        fc6 = nn.Dense(self.out_dim, dtype=self.dtype, name="fc6")
+        x = fc6(x)
+        if gather_idx is not None:  # dedup: (B, U, out) -> (B, E, out)
+            x = jnp.take_along_axis(x, gather_idx[..., None], axis=1)
+        if broadcast_add is not None:
+            kernel = fc6.variables["params"]["kernel"]  # (P*P*C, out)
+            c = broadcast_add.shape[-1]
+            k_sum = kernel.reshape(-1, c, self.out_dim).sum(0)
+            x = x + broadcast_add.astype(self.dtype) @ k_sum.astype(
+                self.dtype)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc7")(x)

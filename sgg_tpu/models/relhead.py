@@ -145,7 +145,8 @@ class RelModelIMP(nn.Module):
     @nn.compact
     def __call__(self, images, boxes, classes, pairs, pair_mask, *,
                  fmap=None, im_hw=None, train: bool = False,
-                 mode: Optional[str] = None, return_feats: bool = False):
+                 mode: Optional[str] = None, return_feats: bool = False,
+                 dedup_unions: bool = False):
         """Forward pass over a padded batch.
 
         Args:
@@ -161,6 +162,15 @@ class RelModelIMP(nn.Module):
           mode: evaluation regime override; defaults to the module's mode.
             The reference switches the model mode per eval regime
             (lib/eval.py:56 ``set_mode``) — here it is a call-time static.
+          dedup_unions: compute union RoIAlign (and the linear bulk of the
+            edge fc6 when the rects branch is spatially constant) once per
+            UNORDERED pair at half the edge budget and gather back — exact
+            for swap-closed pair sets (every eval enumeration; see
+            ``train/assign.unordered_union_index``). The output then
+            carries ``dedup_ok`` (per-image bool): False (unique pairs
+            overflowed E//2 — the set was not swap-closed) means garbage
+            edge features; callers re-run without dedup. Keep False for
+            training (sampled edge sets are not swap-closed).
 
         Returns dict with obj_logits (B,N,C), rel_logits (B,E,R),
         obj_preds (B,N), obj_scores (B,N) — all float32.
@@ -186,10 +196,20 @@ class RelModelIMP(nn.Module):
         node_pool = roi_align(fmap, boxes, spatial_scale=1.0 / stride,
                               pooled=self.pool_size)
         uboxes = union_boxes(boxes, pairs[..., 0], pairs[..., 1])
-        union_pool_raw = roi_align(fmap, uboxes,
-                                   spatial_scale=1.0 / stride,
-                                   pooled=self.pool_size)
-        union_pool = union_pool_raw
+        dedup_ok = None
+        gidx = None
+        if dedup_unions:
+            # union boxes are pair-order symmetric: pool once per UNORDERED
+            # pair at half the edge budget, gather back (exactness via
+            # dedup_ok — see unordered_union_index)
+            from sgg_tpu.train.assign import unordered_union_index
+            n_uni = max(pairs.shape[1] // 2, 1)
+            uni_slots, gidx, dedup_ok, _ = unordered_union_index(
+                pairs, pair_mask, n_uni)
+            uboxes = jnp.take_along_axis(uboxes, uni_slots[..., None], 1)
+        union_pool_u = roi_align(fmap, uboxes, spatial_scale=1.0 / stride,
+                                 pooled=self.pool_size)
+        union_pool_raw = union_pool_u if gidx is None else None
 
         # add rasterized box-pair conv features (get_union_boxes.py:99-101)
         b_s = jnp.take_along_axis(boxes, pairs[..., 0:1].repeat(4, -1), 1)
@@ -199,8 +219,15 @@ class RelModelIMP(nn.Module):
                                     pooling_size=self.pool_size,
                                     edge_model=self.edge_model,
                                     dtype=self.dtype, name="union_feats")
-        union_pool = union_pool + union_feats(pair_boxes, im_hw=im_hw,
-                                              train=train)
+        rects = union_feats(pair_boxes, im_hw=im_hw, train=train)
+        # (B, E, h, w, C); h = w = 1 under the reference-faithful strides
+        rects_is_bcast = rects.shape[2] == 1 and rects.shape[3] == 1
+        edge_split = dedup_unions and rects_is_bcast
+        if not edge_split:
+            if union_pool_raw is None:  # dedup'd but 7x7 rects: gather pools
+                union_pool_raw = jnp.take_along_axis(
+                    union_pool_u, gidx[..., None, None, None], 1)
+            union_pool = union_pool_raw + rects
 
         # vgg16: roi_fmap_obj = full VGG classifier (fc6-relu-drop-fc7-
         # relu-drop), roi_fmap = fc6-relu-drop-fc7 (load_vgg with
@@ -217,9 +244,18 @@ class RelModelIMP(nn.Module):
         node_feat = RoiHead(out_dim=self.obj_dim, dtype=self.dtype,
                             name="roi_fmap_obj",
                             **head_kw)(node_pool, train=train)
-        edge_feat = RoiHead(out_dim=self.obj_dim, dtype=self.dtype,
-                            name="roi_fmap",
-                            **edge_kw)(union_pool, train=train)
+        edge_head = RoiHead(out_dim=self.obj_dim, dtype=self.dtype,
+                            name="roi_fmap", **edge_kw)
+        if edge_split:
+            # fc6 is linear pre-ReLU: run it on the deduped pools, gather,
+            # and add the spatially-constant rects vector through the
+            # summed kernel (see RoiHead docstring) — halves the dominant
+            # 25088->4096 matmul
+            edge_feat = edge_head(union_pool_u, train=train,
+                                  gather_idx=gidx,
+                                  broadcast_add=rects[:, :, 0, 0, :])
+        else:
+            edge_feat = edge_head(union_pool, train=train)
 
         obj_logits, rel_logits = IMPHead(
             num_classes=self.num_classes,
@@ -252,10 +288,15 @@ class RelModelIMP(nn.Module):
             "obj_preds": obj_preds,
             "obj_scores": obj_scores,
         }
+        if dedup_ok is not None:
+            out["dedup_ok"] = dedup_ok
         if return_feats:
             # raw RoIAlign pools — the "real" features the GAN
             # discriminators judge (reference node_edge_features outputs,
             # main.py:184-190)
+            if union_pool_raw is None:
+                union_pool_raw = jnp.take_along_axis(
+                    union_pool_u, gidx[..., None, None, None], 1)
             out["fmap"] = fmap
             out["node_pool"] = node_pool
             out["edge_pool"] = union_pool_raw

@@ -77,7 +77,7 @@ def _zero_padded(out, det_mask, pair_mask):
 
 
 def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
-                         require_overlap: bool = True):
+                         require_overlap: bool = True, dedup: bool = True):
     """Jitted ``eval_step((det_vars, rel_vars), batch) -> outputs`` with
     detection boxes/classes/scores plus relation outputs."""
 
@@ -92,7 +92,7 @@ def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
         pairs, pair_mask = detection_pairs(boxes, mask, require_overlap)
         out = relmodel.apply(rel_vars, None, boxes, labels, pairs,
                              pair_mask, fmap=det["fmap"], train=False,
-                             mode="sgdet")
+                             mode="sgdet", dedup_unions=dedup)
         out.update({
             "det_boxes": boxes, "det_labels": labels,
             "det_scores": det["scores"], "det_mask": mask,
@@ -110,7 +110,8 @@ def make_sgdet_eval_step(detector, relmodel, score_thresh: float = 0.2,
 def make_sgdet_retry_eval_step(detector, relmodel,
                                thresholds=(0.2, 0.05, 0.01),
                                require_overlap: bool = True,
-                               max_pairs: Optional[int] = None):
+                               max_pairs: Optional[int] = None,
+                               dedup: bool = True):
     """ONE-pass sgdet eval with per-image post-hoc threshold selection.
 
     The reference re-detects each image at progressively lower box-score
@@ -170,7 +171,7 @@ def make_sgdet_retry_eval_step(detector, relmodel,
 
         out = relmodel.apply(rel_vars, None, boxes, labels, pairs,
                              pair_mask, fmap=det["fmap"], train=False,
-                             mode="sgdet")
+                             mode="sgdet", dedup_unions=dedup)
         out.update({
             "det_boxes": boxes, "det_labels": labels,
             "det_scores": scores, "det_mask": mask,
@@ -328,19 +329,20 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
 
     cache = _cache if _cache is not None else {}
 
-    def get_step(det, mp):
-        key = ("retry", tuple(thresholds), require_overlap, mp,
+    def get_step(det, mp, dedup=True):
+        key = ("retry", tuple(thresholds), require_overlap, mp, dedup,
                getattr(det, "nms_candidates", None),
                getattr(det, "nms_method", None))
         if key not in cache:
             cache[key] = make_sgdet_retry_eval_step(
                 det, relmodel, thresholds=thresholds,
-                require_overlap=require_overlap, max_pairs=mp)
+                require_overlap=require_overlap, max_pairs=mp, dedup=dedup)
         return cache[key]
 
     counters.bump("sgdet_batches")
     mp = max_pairs
-    out = get_step(detector, mp)(variables, batch)
+    dedup = True
+    out = get_step(detector, mp, dedup)(variables, batch)
 
     # Escalation loop: every re-run is re-checked against ALL three
     # exactness conditions (a cap-escalated re-run can itself push the
@@ -357,7 +359,7 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
                 and getattr(detector, "nms_method", None) != "sequential"):
             counters.bump("sgdet_nms_unconverged")
             detector = detector.clone(nms_method="sequential")
-            out = get_step(detector, mp)(variables, batch)
+            out = get_step(detector, mp, dedup)(variables, batch)
             continue
 
         # NMS candidate cap (exactness precondition of the retry step's
@@ -371,7 +373,7 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
                 while new_cap < need:
                     new_cap *= 2
                 detector = detector.clone(nms_candidates=new_cap)
-                out = get_step(detector, mp)(variables, batch)
+                out = get_step(detector, mp, dedup)(variables, batch)
                 continue
 
         # pair budget: overflow re-runs with the dense shape.
@@ -379,7 +381,18 @@ def sgdet_eval_with_retry(detector, relmodel, variables, batch: GraphBatch,
                 and int(np.max(np.asarray(out["pair_count"]))) > mp):
             counters.bump("sgdet_pair_overflow")
             mp = None
-            out = get_step(detector, mp)(variables, batch)
+            out = get_step(detector, mp, dedup)(variables, batch)
+            continue
+
+        # unordered-union dedup exactness: a non-swap-closed pair set
+        # (never produced by detection_pairs + in-budget compaction, but
+        # checked regardless) overflows the half-size unique budget —
+        # re-run without dedup.
+        if (dedup and "dedup_ok" in out
+                and not bool(np.all(np.asarray(out["dedup_ok"])))):
+            counters.bump("sgdet_dedup_fallback")
+            dedup = False
+            out = get_step(detector, mp, dedup)(variables, batch)
             continue
         break
     return {k: np.asarray(v) for k, v in out.items()}

@@ -127,6 +127,69 @@ def all_pairs(node_mask: jnp.ndarray):
     return pairs, mask
 
 
+def unordered_union_index(pairs, pair_mask, max_unique: int):
+    """Dedup structure for union-box work over *unordered* pairs.
+
+    Union boxes (``ops/boxes.union_boxes``) are symmetric in the pair
+    order, and every eval enumeration is swap-closed: ``all_pairs`` emits
+    both directions, the overlap filter is IoU-symmetric, and
+    order-preserving compaction keeps the row-major-first (i<j) direction
+    whenever it keeps (j,i). Union RoIAlign (and the linear part of the
+    edge fc6) can therefore run once per unordered pair at HALF the edge
+    budget and be gathered back to every ordered slot — exactly (the
+    representative's union box is identical), cutting the dominant
+    bandwidth/FLOP terms of the relation head in half.
+
+    Pure jit, fixed shapes. Per batch row:
+
+    Args:
+      pairs: (B, E, 2) int32 ordered candidate pairs.
+      pair_mask: (B, E) bool.
+      max_unique: U, the unordered budget (callers use E // 2; exact
+        whenever the ordered set is swap-closed, since then
+        #unique = #valid / 2, rounding up for degenerate self-pairs).
+
+    Returns:
+      uni_slots: (B, U) int32 — for each unordered representative, its
+        ordered-edge slot (edge-order preserving; slots past the unique
+        count repeat non-representative slots and are masked by ``ok``).
+      gather_idx: (B, E) int32 — for each ordered edge, the row in
+        ``uni_slots`` holding its representative (garbage for invalid
+        edges — mask downstream).
+      ok: (B,) bool — True iff the image's unique pairs fit ``U``. False
+        means the gathered values are garbage; callers must fall back.
+      n_unique: (B,) int32 unique-pair counts.
+    """
+    B, E = pair_mask.shape
+    slot = jnp.arange(E, dtype=jnp.int32)[None, :]
+    mn = jnp.minimum(pairs[..., 0], pairs[..., 1]).astype(jnp.int32)
+    mx = jnp.maximum(pairs[..., 0], pairs[..., 1]).astype(jnp.int32)
+    # unordered key; node indices are bucket-bounded (< 2**15 by far)
+    key = mn * 32768 + mx
+    # invalid slots get unique keys above the valid key space
+    key = jnp.where(pair_mask, key, (jnp.int32(1) << 30) + slot)
+
+    order = jnp.argsort(key, axis=1, stable=True)          # (B, E)
+    skey = jnp.take_along_axis(key, order, 1)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1)
+    # slot of each sorted run's first element (stable sort => the
+    # lowest-slot, i.e. canonical row-major-first, direction)
+    first_pos = jax.lax.cummax(jnp.where(first, slot, -1), axis=1)
+    rep_sorted = jnp.take_along_axis(order, first_pos, 1)
+    brow = jnp.arange(B)[:, None]
+    rep = jnp.zeros((B, E), jnp.int32).at[brow, order].set(rep_sorted)
+
+    uniq = (rep == slot) & pair_mask
+    n_unique = uniq.sum(axis=1)
+    ok = n_unique <= max_unique
+    uni_slots = jnp.argsort(~uniq, axis=1, stable=True)[:, :max_unique]
+    inv = jnp.zeros((B, E), jnp.int32).at[brow, uni_slots].set(
+        jnp.arange(max_unique, dtype=jnp.int32)[None, :])
+    gather_idx = jnp.take_along_axis(inv, rep, 1)
+    return uni_slots, gather_idx, ok, n_unique
+
+
 def compact_pairs(pairs, pair_mask, max_pairs: int):
     """Gather the valid pairs into a (B, max_pairs) buffer, order-preserving.
 

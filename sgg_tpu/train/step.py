@@ -79,7 +79,8 @@ def make_train_step(model, config: Config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, mode: str = None, max_pairs: int = None):
+def make_eval_step(model, mode: str = None, max_pairs: int = None,
+                   dedup: bool = True):
     """Returns jitted ``eval_step(variables, batch) -> outputs``.
 
     Enumerates all ordered pairs (reference rel_model_base.py:148-163) and
@@ -93,6 +94,11 @@ def make_eval_step(model, mode: str = None, max_pairs: int = None):
     enumeration computes mostly masked pairs for typical images. Exact
     iff every image in the batch has <= max_pairs valid pairs — the
     driver guarantees this from host-side node counts.
+
+    ``dedup`` enables the unordered-union dedup (half-budget union
+    RoIAlign + fc6, see ``RelModelIMP``): the all-pairs enumeration is
+    swap-closed, so it is exact whenever the rung itself is; the output's
+    ``dedup_ok`` lets the driver double-check and fall back.
     """
     from sgg_tpu.train.assign import compact_pairs
 
@@ -102,7 +108,8 @@ def make_eval_step(model, mode: str = None, max_pairs: int = None):
             pairs, pair_mask, _ = compact_pairs(pairs, pair_mask, max_pairs)
         out = model.apply(variables, batch.images, batch.boxes, batch.classes,
                           pairs, pair_mask, fmap=batch.fmaps,
-                          im_hw=batch.im_hw, train=False, mode=mode)
+                          im_hw=batch.im_hw, train=False, mode=mode,
+                          dedup_unions=dedup)
         out["pairs"] = pairs
         out["pair_mask"] = pair_mask
         out["rel_dists"] = jax.nn.softmax(out["rel_logits"], axis=-1)

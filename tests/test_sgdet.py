@@ -292,7 +292,7 @@ def test_escalation_rechecks_convergence_after_cap_growth(monkeypatch):
     calls = []
 
     def fake_make_step(det, rel, thresholds=(0.2,), require_overlap=True,
-                       max_pairs=None):
+                       max_pairs=None, dedup=True):
         def step(variables, batch):
             calls.append((det.nms_method, det.nms_candidates, max_pairs))
             # run 1 (rounds, cap 8): converged but candidate overflow

@@ -14,7 +14,21 @@ in ~1 day on one 1080Ti/2080Ti-class GPU at b=24 (README.md:43,179-198;
 GQA ~1 day README.md:227), i.e. ~13 images/sec. vs_baseline reports our
 images/sec against that estimate.
 
-Two numbers are measured and reported in the one JSON line:
+Measurement protocol (round 4):
+  * every metric is timed as ``REPEATS`` independent blocks of ``iters``
+    steps; the headline value is the MEDIAN block, and ``*_spread_pct``
+    reports (max-min)/median across blocks so a slow-tunnel hour is
+    distinguishable from a real regression;
+  * per-step FLOPs come from XLA's own cost analysis
+    (``jitted.lower(...).compile().cost_analysis()``), giving absolute
+    ``*_tflops_per_sec`` and ``*_mfu`` against the v5e bf16 peak —
+    denominator-free perf accounting (round-3 VERDICT #3);
+  * ``bench_env`` records cpu_count / device / link bandwidth and which
+    metrics are tunnel-sensitive; ``regression_alerts`` lists compute-only
+    metrics that moved >15% against the committed ``BENCH_REFERENCE.json``
+    line.
+
+Two pipeline numbers contextualize the step numbers:
   value                    — step-only img/s (device-resident batch): the
                              compute ceiling of the chip.
   pipeline_images_per_sec  — pipeline-inclusive img/s: distinct host uint8
@@ -30,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -51,12 +66,81 @@ REFERENCE_SGDET_EVAL_IMAGES_PER_SEC = 1.4
 # detector fine-tune: "~1 day" for ~72k GQA images x 10 epochs
 # (reference README.md:236) ~= 8.3 img/s
 REFERENCE_DETECTOR_PRETRAIN_IMAGES_PER_SEC = 8.3
+# TPU v5e (lite) bf16 peak: 197 TFLOP/s per chip (public spec).
+PEAK_BF16_TFLOPS = 197.0
 BATCH = 24
 MAX_NODES = 40
 MAX_EDGES = 256
 IMG = 592
-STEPS = 20
+ITERS = 10
+REPEATS = 3
 WARMUP = 3
+
+# metrics whose value depends only on chip compute (not the tunnel / host):
+# these are checked against BENCH_REFERENCE.json for >15% moves
+COMPUTE_ONLY = (
+    "sgcls_train_images_per_sec", "sgcls_train_cached_images_per_sec",
+    "sgcls_eval_images_per_sec", "sgcls_eval_cached_images_per_sec",
+    "sgdet_eval_images_per_sec", "sgdet_train_images_per_sec",
+    "gan_train_images_per_sec", "detector_pretrain_images_per_sec",
+)
+TUNNEL_SENSITIVE = ("pipeline_images_per_sec", "h2d_link_mbps",
+                    "host_prep_images_per_sec")
+
+
+def _measure(enqueue, sync, iters: int = ITERS, repeats: int = REPEATS):
+    """Per-repeat wall seconds of ``iters`` enqueued steps + final sync.
+
+    ``sync`` must force completion via a scalar readback —
+    block_until_ready does NOT synchronize on the tunneled axon backend.
+    """
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            enqueue(r * iters + i)
+        sync()
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def _flops_of(jitted, *args, **kw):
+    """Per-call FLOPs from XLA cost analysis (None if unavailable).
+
+    The program was just executed, so lower+compile is served by the
+    in-process/persistent compile cache rather than a fresh tunnel compile.
+    """
+    try:
+        ca = jitted.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _fields(name: str, times, n_img_per_iter: int, iters: int = ITERS,
+            flops_per_step=None):
+    """Throughput + variance + MFU fields for one metric."""
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med * 100
+    out = {
+        f"{name}_images_per_sec": round(n_img_per_iter * iters / med, 2),
+        f"{name}_best_images_per_sec": round(
+            n_img_per_iter * iters / min(times), 2),
+        f"{name}_spread_pct": round(spread, 1),
+    }
+    if flops_per_step:
+        tf = flops_per_step * iters / med / 1e12
+        out[f"{name}_tflops_per_sec"] = round(tf, 2)
+        out[f"{name}_mfu"] = round(tf / PEAK_BF16_TFLOPS, 4)
+    return out
+
+
+def _pop_metric(fields, name):
+    """Split the '{name}_images_per_sec' headline out of a fields dict."""
+    return fields.pop(f"{name}_images_per_sec"), fields
 
 
 def main():
@@ -99,18 +183,23 @@ def main():
 
     # NOTE: block_until_ready does not synchronize on the tunneled axon
     # backend; a scalar device->host readback is the reliable barrier.
+    box = {"state": state, "metrics": None}
+
+    def enqueue_train(i):
+        box["state"], box["metrics"] = step(box["state"], gb,
+                                            jax.random.key(i))
+
+    def sync_train():
+        assert np.isfinite(float(box["metrics"]["total"]))
+
     for i in range(WARMUP):
-        state, metrics = step(state, gb, jax.random.key(i))
-    float(metrics["total"])
-
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, metrics = step(state, gb, jax.random.key(WARMUP + i))
-    float(metrics["total"])  # forces completion of the whole chain
-    dt = time.perf_counter() - t0
-
-    img_per_sec = BATCH * STEPS / dt
-    assert np.isfinite(float(metrics["total"]))
+        enqueue_train(i)
+    sync_train()
+    train_flops = _flops_of(step, box["state"], gb, jax.random.key(0))
+    times = _measure(enqueue_train, sync_train)
+    img_per_sec, train_extra = _pop_metric(
+        _fields("sgcls_train", times, BATCH, flops_per_step=train_flops),
+        "sgcls_train")
 
     # ---- pipeline-inclusive: distinct host-resident uint8 batches streamed
     # through device_prefetch (overlapped H2D) into the same step ----
@@ -135,13 +224,16 @@ def main():
 
     # warmup (uint8 input recompiles the step once)
     for b in device_prefetch(stream(2), size=2):
-        state, metrics = step(state, b, jax.random.key(99))
-    float(metrics["total"])
+        enqueue_pipe_batch = b
+        box["state"], box["metrics"] = step(box["state"], b,
+                                            jax.random.key(99))
+    sync_train()
     t0 = time.perf_counter()
     n_pipe = 10
     for i, b in enumerate(device_prefetch(stream(n_pipe), size=2)):
-        state, metrics = step(state, b, jax.random.key(100 + i))
-    float(metrics["total"])
+        box["state"], box["metrics"] = step(box["state"], b,
+                                            jax.random.key(100 + i))
+    sync_train()
     pipe_per_sec = BATCH * n_pipe / (time.perf_counter() - t0)
 
     # ---- frozen-trunk feature-cache training step (data/feature_cache.py,
@@ -151,20 +243,23 @@ def main():
     # the REAL trunk output of the bench batch, so head compute is
     # realistic.
     errors = {}
-    cached_per_sec = None
+    cached_fields = None
     try:
         _stage("sgcls_train_cached")
         from sgg_tpu.data.feature_cache import cached_batch
-        gb_cached = cached_batch(state.params["trunk"], gb)
+        gb_cached = cached_batch(box["state"].params["trunk"], gb)
+
+        def enqueue_cached(i):
+            box["state"], box["metrics"] = step(box["state"], gb_cached,
+                                                jax.random.key(200 + i))
+
         for i in range(WARMUP):
-            state, metrics = step(state, gb_cached, jax.random.key(200 + i))
-        float(metrics["total"])
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            state, metrics = step(state, gb_cached, jax.random.key(300 + i))
-        float(metrics["total"])
-        cached_per_sec = BATCH * STEPS / (time.perf_counter() - t0)
-        assert np.isfinite(float(metrics["total"]))
+            enqueue_cached(i)
+        sync_train()
+        cflops = _flops_of(step, box["state"], gb_cached, jax.random.key(0))
+        times = _measure(enqueue_cached, sync_train)
+        cached_fields = _fields("sgcls_train_cached", times, BATCH,
+                                flops_per_step=cflops)
     except Exception as e:
         errors["sgcls_train_cached_error"] = repr(e)[:120]
 
@@ -185,10 +280,10 @@ def main():
     # the reference's slowest protocol (~1.4 img/s: "a couple hours" for
     # the 10k-image GQA test set, README.md:243). Guarded so a failure
     # cannot break the one-JSON-line contract.
-    sgdet_per_sec = sgdet_caps = None
+    sgdet_fields = sgdet_caps = None
     try:
         _stage("sgdet_eval")
-        sgdet_per_sec, sgdet_caps = _bench_sgdet_eval()
+        sgdet_fields, sgdet_caps = _bench_sgdet_eval()
     except Exception as e:  # record, don't hide (a consumer must be able
         errors["sgdet_eval_error"] = repr(e)[:120]  # to tell broken from
         pass                                        # not-run)
@@ -199,10 +294,10 @@ def main():
     # 64-node no-truncation bucket).
     # NOTE self-contained (fresh init): main's ``variables`` share buffers
     # with ``state.params``, which the donating train step invalidates.
-    sgcls_eval_per_sec = sgcls_eval_cached_per_sec = None
+    sgcls_eval_fields = sgcls_eval_cached_fields = None
     try:
         _stage("sgcls_eval")
-        sgcls_eval_per_sec, sgcls_eval_cached_per_sec = \
+        sgcls_eval_fields, sgcls_eval_cached_fields = \
             _bench_sgcls_eval(model)
     except Exception as e:
         errors["sgcls_eval_error"] = repr(e)[:120]
@@ -223,62 +318,63 @@ def main():
             pipe_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
         "h2d_link_mbps": round(link_mbps, 1),
     }
-    if cached_per_sec is not None:
+    line.update(train_extra)
+    if cached_fields is not None:
         # frozen-trunk feature-cache step (extract once, train 20 epochs
         # from the cache; the reference recomputes the frozen VGG forward
         # every step)
-        line["sgcls_train_cached_images_per_sec"] = round(cached_per_sec, 2)
+        line.update(cached_fields)
         line["sgcls_train_cached_vs_baseline"] = round(
-            cached_per_sec / REFERENCE_IMAGES_PER_SEC, 2)
-    if sgdet_per_sec is not None:
-        line["sgdet_eval_images_per_sec"] = round(sgdet_per_sec, 2)
+            cached_fields["sgcls_train_cached_images_per_sec"]
+            / REFERENCE_IMAGES_PER_SEC, 2)
+    if sgdet_fields is not None:
+        line.update(sgdet_fields)
         line["sgdet_eval_vs_baseline"] = round(
-            sgdet_per_sec / REFERENCE_SGDET_EVAL_IMAGES_PER_SEC, 2)
+            sgdet_fields["sgdet_eval_images_per_sec"]
+            / REFERENCE_SGDET_EVAL_IMAGES_PER_SEC, 2)
     if sgdet_caps is not None:
         # exactness-cap overflow rates over the bench batches (fraction of
         # images whose candidate pairs / NMS candidates exceeded the
         # compiled fast-path caps and took the exact fallback)
         line.update({k: round(v, 4) if isinstance(v, float) else v
                      for k, v in sgdet_caps.items()})
-    if sgcls_eval_per_sec is not None:
-        line["sgcls_eval_images_per_sec"] = round(sgcls_eval_per_sec, 2)
-    if isinstance(sgcls_eval_cached_per_sec, Exception):
+    if sgcls_eval_fields is not None:
+        line.update(sgcls_eval_fields)
+    if isinstance(sgcls_eval_cached_fields, Exception):
         errors["sgcls_eval_cached_error"] = repr(
-            sgcls_eval_cached_per_sec)[:120]
-    elif sgcls_eval_cached_per_sec is not None:
-        line["sgcls_eval_cached_images_per_sec"] = round(
-            sgcls_eval_cached_per_sec, 2)
+            sgcls_eval_cached_fields)[:120]
+    elif sgcls_eval_cached_fields is not None:
+        line.update(sgcls_eval_cached_fields)
 
     # ---- GAN-augmented training (the ICCV'21 configuration, reference
     # main.py -gan: F/G/D phases in one jitted program). Reference pays
     # ~2x its base step for -gan (~6 img/s at b=24).
-    gan_per_sec = gan_cached_per_sec = None
+    gan_fields = gan_cached_fields = None
     try:
         _stage("gan_train")
-        gan_per_sec, gan_cached_per_sec = _bench_gan_train()
+        gan_fields, gan_cached_fields = _bench_gan_train()
     except Exception as e:
         errors["gan_train_error"] = repr(e)[:120]
-    if gan_per_sec is not None:
-        line["gan_train_images_per_sec"] = round(gan_per_sec, 2)
-    if isinstance(gan_cached_per_sec, Exception):
-        errors["gan_train_cached_error"] = repr(gan_cached_per_sec)[:120]
-    elif gan_cached_per_sec is not None:
-        line["gan_train_cached_images_per_sec"] = round(
-            gan_cached_per_sec, 2)
+    if gan_fields is not None:
+        line.update(gan_fields)
+    if isinstance(gan_cached_fields, Exception):
+        errors["gan_train_cached_error"] = repr(gan_cached_fields)[:120]
+    elif gan_cached_fields is not None:
+        line.update(gan_cached_fields)
 
     # ---- sgdet TRAINING step (frozen detector -> rel_assignments ->
     # rel-head update, one jitted program; reference main.py -m sgdet,
     # ~same ~13 img/s class as sgcls training: "~1 day" runs)
     try:
         _stage("sgdet_train")
-        v, v_cached = _bench_sgdet_train()
-        line["sgdet_train_images_per_sec"] = round(v, 2)
+        f, f_cached = _bench_sgdet_train()
+        line.update(f)
         line["sgdet_train_vs_baseline"] = round(
-            v / REFERENCE_IMAGES_PER_SEC, 2)
-        if isinstance(v_cached, Exception):
-            errors["sgdet_train_cached_error"] = repr(v_cached)[:120]
+            f["sgdet_train_images_per_sec"] / REFERENCE_IMAGES_PER_SEC, 2)
+        if isinstance(f_cached, Exception):
+            errors["sgdet_train_cached_error"] = repr(f_cached)[:120]
         else:
-            line["sgdet_train_cached_images_per_sec"] = round(v_cached, 2)
+            line.update(f_cached)
     except Exception as e:
         errors["sgdet_train_error"] = repr(e)[:120]
 
@@ -286,16 +382,19 @@ def main():
     # reference pretrain_detector.py spends ~1 day here, README.md:236)
     try:
         _stage("detector_pretrain")
-        v = _bench_detector_pretrain()
-        line["detector_pretrain_images_per_sec"] = round(v, 2)
+        f = _bench_detector_pretrain()
+        line.update(f)
         line["detector_pretrain_vs_baseline"] = round(
-            v / REFERENCE_DETECTOR_PRETRAIN_IMAGES_PER_SEC, 2)
+            f["detector_pretrain_images_per_sec"]
+            / REFERENCE_DETECTOR_PRETRAIN_IMAGES_PER_SEC, 2)
     except Exception as e:
         errors["detector_pretrain_error"] = repr(e)[:120]
 
     # ---- host-side prep rate (native C++ resize/flip/pad per worker):
     # bounds the real-host pipeline claim: pipeline = min(compute, link,
-    # host_prep * workers). No TPU involved.
+    # host_prep * workers). No TPU involved. On THIS 1-CPU dev box the
+    # thread-scaled number is meaningless (threads contend on the single
+    # core); bench_env.cpu_count makes that self-explaining.
     try:
         _stage("host_prep")
         per_worker, scaled, nthreads = _bench_host_prep()
@@ -305,12 +404,46 @@ def main():
     except Exception as e:
         errors["host_prep_error"] = repr(e)[:120]
 
+    # ---- environment + provenance block (round-3 VERDICT #3/#7) ----
+    line["bench_env"] = {
+        "cpu_count": os.cpu_count(),
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+        "iters_per_repeat": ITERS,
+        "repeats": REPEATS,
+        "peak_bf16_tflops": PEAK_BF16_TFLOPS,
+        "tunnel_sensitive": list(TUNNEL_SENSITIVE),
+    }
+
+    # ---- regression alerts vs the committed reference line: flags
+    # compute-only metrics that moved >15% (tunnel metrics excluded) ----
+    try:
+        ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_REFERENCE.json")
+        if os.path.exists(ref_path):
+            with open(ref_path) as fh:
+                ref = json.load(fh)
+            alerts = []
+            for k in COMPUTE_ONLY:
+                cur = line.get(k, line["value"] if k ==
+                               "sgcls_train_images_per_sec" else None)
+                if cur is None or k not in ref:
+                    continue
+                delta = (cur - ref[k]) / ref[k]
+                if abs(delta) > 0.15:
+                    alerts.append(f"{k}: {ref[k]} -> {cur} "
+                                  f"({delta * 100:+.0f}%)")
+            if alerts:
+                line["regression_alerts"] = alerts
+    except Exception as e:
+        errors["regression_check_error"] = repr(e)[:120]
+
     line.update(errors)
     print(json.dumps(line))
 
 
 def _bench_gan_train(B: int = BATCH):
-    """img/s of the one-program GAN F/G/D training step (SGG fwd+bwd,
+    """Fields for the one-program GAN F/G/D training step (SGG fwd+bwd,
     generator GCN->layout->CRN, three spectral-norm discriminators, rec
     losses, three optimizer updates)."""
     import jax.numpy as jnp
@@ -347,43 +480,48 @@ def _bench_gan_train(B: int = BATCH):
     state = create_gan_state(config, create_train_state(config, variables),
                              gan_vars)
     step = make_gan_train_step(model, gan, config)
+    box = {"state": state, "metrics": None}
+
+    def enqueue(i, batch=gb):
+        box["state"], box["metrics"] = step(box["state"], batch,
+                                            batch.classes, None,
+                                            jax.random.key(i))
+
+    def sync():
+        float(box["metrics"]["obj_loss"])
+
     for i in range(2):
-        state, metrics = step(state, gb, gb.classes, None, jax.random.key(i))
-    float(metrics["obj_loss"])
-    t0 = time.perf_counter()
-    iters = 10
-    for i in range(iters):
-        state, metrics = step(state, gb, gb.classes, None,
-                              jax.random.key(10 + i))
-    float(metrics["obj_loss"])
-    ips = B * iters / (time.perf_counter() - t0)
+        enqueue(i)
+    sync()
+    flops = _flops_of(step, box["state"], gb, gb.classes, None,
+                      jax.random.key(0))
+    times = _measure(enqueue, sync)
+    fields = _fields("gan_train", times, B, flops_per_step=flops)
 
     # frozen-trunk cached variant: the trunk is frozen under -gan too; the
     # discriminators' "real" fmap is the cached one. Guarded so a failure
     # here cannot discard the base metric.
     try:
         from sgg_tpu.data.feature_cache import cached_batch
-        gbc = cached_batch(state.sgg.params["trunk"], gb)
+        gbc = cached_batch(box["state"].sgg.params["trunk"], gb)
         for i in range(2):
-            state, metrics = step(state, gbc, gbc.classes, None,
-                                  jax.random.key(20 + i))
-        float(metrics["obj_loss"])
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, metrics = step(state, gbc, gbc.classes, None,
-                                  jax.random.key(30 + i))
-        float(metrics["obj_loss"])
-        cached_ips = B * iters / (time.perf_counter() - t0)
+            enqueue(20 + i, gbc)
+        sync()
+        times = _measure(lambda i: enqueue(30 + i, gbc), sync)
+        cached_fields = _fields("gan_train_cached", times, B)
     except Exception as e:
-        cached_ips = e
-    return ips, cached_ips
+        cached_fields = e
+    return fields, cached_fields
 
 
 def _bench_sgcls_eval(model, B: int = 16, eval_nodes: int = 64):
-    """img/s of the jitted sgcls eval step at the driver's 512 pair-budget
-    rung over a 64-node no-truncation bucket (typical 12-object images).
-    B=16 is the driver's default predcls/sgcls eval batch (measured v5e
-    sweet spot; sgdet stays at 8)."""
+    """Fields for the jitted sgcls eval step at the driver's 512
+    pair-budget rung over a 64-node no-truncation bucket (typical 12-object
+    images). B=16 is the driver's default predcls/sgcls eval batch
+    (measured v5e sweet spot; sgdet stays at 8). ``dedup=True`` is passed
+    EXPLICITLY: the measured configuration is the driver's default
+    split-fc6 unordered-union path (exact for untruncated pair sets) —
+    numbers from rounds <=3 measured the non-dedup path."""
     import jax.numpy as jnp
 
     from sgg_tpu.data import SyntheticSGGDataset
@@ -400,39 +538,39 @@ def _bench_sgcls_eval(model, B: int = 16, eval_nodes: int = 64):
     variables = jax.jit(lambda k: model.init(
         k, gb.images, gb.boxes, gb.classes, sampled[..., :2], pm,
         train=False))(jax.random.key(0))
-    step = make_eval_step(model, mode="sgcls", max_pairs=512)
-    out = step(variables, gb)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).ravel()[0])
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        out = step(variables, gb)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).ravel()[0])
-    per_sec = B * iters / (time.perf_counter() - t0)
+    step = make_eval_step(model, mode="sgcls", max_pairs=512, dedup=True)
+    box = {"out": None}
+
+    def enqueue(i, batch=gb):
+        box["out"] = step(variables, batch)
+
+    def sync():
+        float(jnp.asarray(box["out"]["rel_logits"]).astype(
+            jnp.float32).ravel()[0])
+
+    enqueue(0)
+    sync()
+    flops = _flops_of(step, variables, gb)
+    times = _measure(enqueue, sync)
+    fields = _fields("sgcls_eval", times, B, flops_per_step=flops)
 
     # frozen-trunk cached variant: same eval step on precomputed fmaps
     # (eval never flips, so the cache holds one orientation per image).
     # Guarded so a cached-path failure cannot discard the base metric.
-    cached_per_sec = None
     try:
         from sgg_tpu.data.feature_cache import cached_batch
         gbc = cached_batch(variables["params"]["trunk"], gb)
-        out = step(variables, gbc)
-        float(jnp.asarray(out["rel_logits"]).astype(
-            jnp.float32).ravel()[0])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(variables, gbc)
-        float(jnp.asarray(out["rel_logits"]).astype(
-            jnp.float32).ravel()[0])
-        cached_per_sec = B * iters / (time.perf_counter() - t0)
+        enqueue(0, gbc)
+        sync()
+        times = _measure(lambda i: enqueue(i, gbc), sync)
+        cached_fields = _fields("sgcls_eval_cached", times, B)
     except Exception as e:  # surfaced as *_cached_error by main()
-        cached_per_sec = e
-    return per_sec, cached_per_sec
+        cached_fields = e
+    return fields, cached_fields
 
 
 def _bench_sgdet_eval(B: int = 8):
-    """img/s of the jitted single-pass sgdet retry eval step (detector at
+    """Fields for the jitted single-pass sgdet retry eval step (detector at
     the full 0.2->0.05->0.01 per-image threshold protocol + overlap-
     constrained detection-pair relation classification compacted to the
     production pair budget) on synthetic batches."""
@@ -463,14 +601,21 @@ def _bench_sgdet_eval(B: int = 8):
         fmap=dout["fmap"], train=False))(jax.random.key(0))
     step = make_sgdet_retry_eval_step(det, rel,
                                       max_pairs=SGDET_EVAL_MAX_PAIRS)
-    out = step((det_vars, rel_vars), gb)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        out = step((det_vars, rel_vars), gb)
-    float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
-    ips = B * iters / (time.perf_counter() - t0)
+    box = {"out": None}
+
+    def enqueue(i, batch=gb):
+        box["out"] = step((det_vars, rel_vars), batch)
+
+    def sync():
+        float(jnp.asarray(box["out"]["rel_logits"]).astype(
+            jnp.float32).mean())
+
+    enqueue(0)
+    sync()
+    flops = _flops_of(step, (det_vars, rel_vars), gb)
+    times = _measure(enqueue, sync)
+    fields = _fields("sgdet_eval", times, B, flops_per_step=flops)
+    out = box["out"]
     # exactness-cap overflow rates on these batches (see
     # sgdet_eval_with_retry: overflow triggers the exact fallback path)
     caps = {
@@ -486,21 +631,17 @@ def _bench_sgdet_eval(B: int = 8):
     try:
         from sgg_tpu.data.feature_cache import cached_batch
         gbc = cached_batch(det_vars["params"]["trunk"], gb)
-        out = step((det_vars, rel_vars), gbc)
-        float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step((det_vars, rel_vars), gbc)
-        float(jnp.asarray(out["rel_logits"]).astype(jnp.float32).mean())
-        caps["sgdet_eval_cached_images_per_sec"] = round(
-            B * iters / (time.perf_counter() - t0), 2)
+        enqueue(0, gbc)
+        sync()
+        times = _measure(lambda i: enqueue(i, gbc), sync)
+        caps.update(_fields("sgdet_eval_cached", times, B))
     except Exception as e:
         caps["sgdet_eval_cached_error"] = repr(e)[:120]
-    return ips, caps
+    return fields, caps
 
 
 def _bench_sgdet_train(B: int = 8):
-    """img/s of the one-program sgdet TRAINING step: frozen full-size
+    """Fields for the one-program sgdet TRAINING step: frozen full-size
     detector forward, in-jit rel_assignments sampling, relation-head
     forward+backward and SGD update (reference main.py -m sgdet)."""
     import jax.numpy as jnp
@@ -532,16 +673,27 @@ def _bench_sgdet_train(B: int = 8):
         fmap=dout["fmap"], train=False))(jax.random.key(0))
     state = create_train_state(config, rel_vars)
     step = make_sgdet_train_step(det, rel, config, det_vars)
+    box = {"state": state, "metrics": None}
+
+    def enqueue(i, batch=gb):
+        box["state"], box["metrics"] = step(box["state"], batch,
+                                            jax.random.key(i))
+
+    def sync():
+        assert np.isfinite(float(box["metrics"]["total"]))
+
     for i in range(2):
-        state, metrics = step(state, gb, jax.random.key(i))
-    total = float(metrics["total"])
-    assert np.isfinite(total), total
-    t0 = time.perf_counter()
-    iters = 10
-    for i in range(iters):
-        state, metrics = step(state, gb, jax.random.key(10 + i))
-    assert np.isfinite(float(metrics["total"]))
-    ips = B * iters / (time.perf_counter() - t0)
+        enqueue(i)
+    sync()
+    # NOTE: make_sgdet_train_step runs as a split program on this toolchain
+    # (detector program + rel program); _flops_of sees only the outer jit
+    # if one exists — report flops only when the lookup succeeds.
+    try:
+        flops = _flops_of(step, box["state"], gb, jax.random.key(0))
+    except Exception:
+        flops = None
+    times = _measure(enqueue, sync)
+    fields = _fields("sgdet_train", times, B, flops_per_step=flops)
 
     # frozen-trunk cached variant (detector restarts at the RPN). Guarded
     # so a failure here cannot discard the base metric.
@@ -549,20 +701,17 @@ def _bench_sgdet_train(B: int = 8):
         from sgg_tpu.data.feature_cache import cached_batch
         gbc = cached_batch(det_vars["params"]["trunk"], gb)
         for i in range(2):
-            state, metrics = step(state, gbc, jax.random.key(20 + i))
-        float(metrics["total"])
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, metrics = step(state, gbc, jax.random.key(30 + i))
-        assert np.isfinite(float(metrics["total"]))
-        cached_ips = B * iters / (time.perf_counter() - t0)
+            enqueue(20 + i, gbc)
+        sync()
+        times = _measure(lambda i: enqueue(30 + i, gbc), sync)
+        cached_fields = _fields("sgdet_train_cached", times, B)
     except Exception as e:
-        cached_ips = e
-    return ips, cached_ips
+        cached_fields = e
+    return fields, cached_fields
 
 
 def _bench_detector_pretrain(B: int = 8):
-    """img/s of the jitted detector-pretraining step (trunk + RPN + RoI
+    """Fields for the jitted detector-pretraining step (trunk + RPN + RoI
     heads forward, target assignment + balanced sampling, RPN/RoI losses,
     backward, SGD update — reference pretrain_detector.py + engine.py)."""
     import jax.numpy as jnp
@@ -588,15 +737,21 @@ def _bench_detector_pretrain(B: int = 8):
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]), tx=tx)
     step = make_detector_train_step(det)
+    box = {"state": state, "metrics": None}
+
+    def enqueue(i):
+        box["state"], box["metrics"] = step(box["state"], gb,
+                                            jax.random.key(i))
+
+    def sync():
+        assert np.isfinite(float(box["metrics"]["total"]))
+
     for i in range(2):
-        state, metrics = step(state, gb, jax.random.key(i))
-    assert np.isfinite(float(metrics["total"]))
-    t0 = time.perf_counter()
-    iters = 10
-    for i in range(iters):
-        state, metrics = step(state, gb, jax.random.key(10 + i))
-    assert np.isfinite(float(metrics["total"]))
-    return B * iters / (time.perf_counter() - t0)
+        enqueue(i)
+    sync()
+    flops = _flops_of(step, box["state"], gb, jax.random.key(0))
+    times = _measure(enqueue, sync)
+    return _fields("detector_pretrain", times, B, flops_per_step=flops)
 
 
 def _bench_host_prep(n_images: int = 64):

@@ -29,9 +29,15 @@ def main():
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
 
+    # SGG_CHECK_SIZES=0 relaxes the full-dataset integrity asserts
+    # (108073 images, hardcoded eval-split sizes) so a miniature
+    # schema-exact fixture (sgg_tpu.data.fixtures / tools/
+    # make_fixture_dataset.py) can drive the complete CLI end-to-end.
+    check_sizes = os.environ.get("SGG_CHECK_SIZES", "1") != "0"
     if config.split == "stanford":
         from sgg_tpu.data import visual_genome as dsmod
-        splits = dsmod.splits(config.data, num_val_im=config.val_size,
+        splits = dsmod.splits(config.data, check_sizes=check_sizes,
+                              num_val_im=config.val_size,
                               min_graph_size=config.min_graph_size,
                               max_graph_size=config.max_graph_size,
                               # non-overlap filtering is an sgdet-only train

@@ -15,7 +15,13 @@ MODES = ("sgdet", "sgcls", "predcls")
 BOX_SCALE = 1024
 
 # Input image resolution fed to the VGG16 backbone (reference config.py:31).
-IM_SCALE = 592
+# SGG_IM_SCALE overrides it process-wide (must be a multiple of STRIDE=16):
+# CPU-tier end-to-end CLI tests run the identical program at a smaller
+# canvas so the VGG trunk doesn't dominate the suite; real runs keep 592.
+import os as _os
+
+IM_SCALE = int(_os.environ.get("SGG_IM_SCALE", "592"))
+assert IM_SCALE % 16 == 0, f"SGG_IM_SCALE must be a multiple of 16: {IM_SCALE}"
 
 # Fraction of sampled relation edges that are foreground
 # (reference config.py:33).

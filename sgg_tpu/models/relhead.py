@@ -205,7 +205,7 @@ class RelModelIMP(nn.Module):
             from sgg_tpu.train.assign import unordered_union_index
             n_uni = max(pairs.shape[1] // 2, 1)
             uni_slots, gidx, dedup_ok, _ = unordered_union_index(
-                pairs, pair_mask, n_uni)
+                pairs, pair_mask, n_uni, num_nodes=boxes.shape[1])
             uboxes = jnp.take_along_axis(uboxes, uni_slots[..., None], 1)
         union_pool_u = roi_align(fmap, uboxes, spatial_scale=1.0 / stride,
                                  pooled=self.pool_size)

@@ -127,7 +127,8 @@ def all_pairs(node_mask: jnp.ndarray):
     return pairs, mask
 
 
-def unordered_union_index(pairs, pair_mask, max_unique: int):
+def unordered_union_index(pairs, pair_mask, max_unique: int,
+                          num_nodes: int = None):
     """Dedup structure for union-box work over *unordered* pairs.
 
     Union boxes (``ops/boxes.union_boxes``) are symmetric in the pair
@@ -164,8 +165,20 @@ def unordered_union_index(pairs, pair_mask, max_unique: int):
     slot = jnp.arange(E, dtype=jnp.int32)[None, :]
     mn = jnp.minimum(pairs[..., 0], pairs[..., 1]).astype(jnp.int32)
     mx = jnp.maximum(pairs[..., 0], pairs[..., 1]).astype(jnp.int32)
-    # unordered key; node indices are bucket-bounded (< 2**15 by far)
-    key = mn * 32768 + mx
+    # unordered key. ``num_nodes`` is the STATIC node-axis bound of the
+    # bucket the pair indices come from (callers pass boxes.shape[1]); a
+    # key collision would silently merge distinct pairs (it LOWERS
+    # n_unique, so the ok-flag could not catch it) — the trace-time assert
+    # makes the packed key space provably collision-free in int32.
+    if num_nodes is None:
+        num_nodes = 32768  # legacy bound (exactly fills the int32 space)
+    shift = 1
+    while shift < num_nodes:
+        shift *= 2
+    assert shift * (num_nodes - 1) + (num_nodes - 1) < (1 << 30), (
+        f"unordered-pair key packing overflows int32 for node bucket "
+        f"{num_nodes}")
+    key = mn * shift + mx
     # invalid slots get unique keys above the valid key space
     key = jnp.where(pair_mask, key, (jnp.int32(1) << 30) + slot)
 

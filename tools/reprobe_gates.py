@@ -8,14 +8,19 @@ fixed-point NMS (``ops/nms.py``), Pallas RoIAlign
 (``ops/stem_conv.py``), and the Pallas VGG stem
 (``ops/vgg_stem_pallas.py``). "Blocked" is a property of the toolchain,
 not the code — this tool re-runs each probe so a newer toolchain can be
-detected and the defaults flipped (VERDICT r2, item 5).
+detected and the defaults flipped (VERDICT r2 item 5).
 
-Each gate runs in its OWN subprocess: the known failure mode of two gates
-is a TPU-worker crash/hang, which must not take down the other probes.
+Round-4 structure (VERDICT r3 weak #2: a probe must not eat 15 minutes
+without a determination): every STAGE — one timed variant of one gate —
+runs in its OWN subprocess under a hard ``PER_STAGE_TIMEOUT`` (120 s,
+compile included). A hanging toolchain records ``timeout@120s`` for that
+stage; the other stage's number still lands, so every gate gets either a
+winner or an explicit bounded-timeout verdict. Worst case all-stages-hang
+bound: 10 stages x 120 s = 20 min; the normal warm-cache sweep is minutes.
 
 Usage:
-  python tools/reprobe_gates.py          # run all gates, print a table
-  python tools/reprobe_gates.py <gate>   # run one gate in-process
+  python tools/reprobe_gates.py                 # full sweep, table + JSON
+  python tools/reprobe_gates.py <gate> <stage>  # one stage in-process
 """
 
 from __future__ import annotations
@@ -30,9 +35,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
-GATES = ("nms_fixpoint", "pallas_roi", "outer_roi", "s2d_stem",
-         "vgg_stem_pallas")
-PER_GATE_TIMEOUT = 900
+# gate -> (baseline stage, candidate stage)
+STAGES = {
+    "nms_fixpoint": ("sequential", "fixpoint"),
+    "pallas_roi": ("xla", "pallas"),
+    "outer_roi": ("separable", "outer"),
+    "s2d_stem": ("direct", "s2d"),
+    "vgg_stem_pallas": ("direct", "pallas"),
+}
+PER_STAGE_TIMEOUT = 120
 
 
 def _sync(x):
@@ -51,9 +62,9 @@ def _time(fn, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters * 1000  # ms
 
 
-def gate_nms_fixpoint():
-    """Fixed-point NMS composed into the FULL detector program (the
-    standalone kernel already works; composition is what crashed)."""
+def stage_nms_fixpoint(stage: str):
+    """NMS method composed into the FULL detector program (the standalone
+    kernel already works; composition is what crashed/hung)."""
     import functools
 
     import jax
@@ -74,150 +85,147 @@ def gate_nms_fixpoint():
     det_vars = jax.jit(lambda k, im, hw: det.init(k, im, hw, train=False))(
         jax.random.key(0), gb.images, gb.im_hw)
 
-    def run(method):
-        det_mod.nms = functools.partial(nms_mod.nms, method=method)
-        try:
-            step = jax.jit(lambda v, im, hw: det.apply(v, im, hw,
-                                                       train=False))
-            ms = _time(lambda: step(det_vars, gb.images, gb.im_hw)["scores"])
-        finally:
-            det_mod.nms = nms_mod.nms
-        return ms
-
-    seq = run("sequential")
-    fix = run("fixpoint")
-    return {"sequential_ms": round(seq, 2), "fixpoint_ms": round(fix, 2),
-            "winner": "fixpoint" if fix < seq else "sequential"}
+    det_mod.nms = functools.partial(nms_mod.nms, method=stage)
+    try:
+        step = jax.jit(lambda v, im, hw: det.apply(v, im, hw, train=False))
+        ms = _time(lambda: step(det_vars, gb.images, gb.im_hw)["scores"])
+    finally:
+        det_mod.nms = nms_mod.nms
+    return ms
 
 
-def gate_pallas_roi():
-    """Pallas RoIAlign vs the XLA separable path at the SGCls union load
-    (B=24, 256 ROIs, 37x37x512 bf16 fmap)."""
+def _roi_load():
     import jax
     import jax.numpy as jnp
 
+    B, H, W, C, R = 24, 37, 37, 512, 256
+    k1, k2 = jax.random.split(jax.random.key(0))
+    fmap = jax.random.normal(k1, (B, H, W, C), jnp.bfloat16)
+    rois = jax.random.uniform(k2, (B, R, 4), jnp.float32) * 500
+    rois = rois.at[..., 2:].set(rois[..., :2] + 90)
+    return fmap, rois
+
+
+def stage_pallas_roi(stage: str):
+    """Pallas RoIAlign vs the XLA separable path at the SGCls union load
+    (B=24, 256 ROIs, 37x37x512 bf16 fmap)."""
     from sgg_tpu.ops.roi_align import roi_align
     from sgg_tpu.ops.roi_align_pallas import roi_align_pallas
 
-    B, H, W, C, R = 24, 37, 37, 512, 256
-    k1, k2 = jax.random.split(jax.random.key(0))
-    fmap = jax.random.normal(k1, (B, H, W, C), jnp.bfloat16)
-    rois = jax.random.uniform(k2, (B, R, 4), jnp.float32) * 500
-    rois = rois.at[..., 2:].set(rois[..., :2] + 90)
-
-    xla = _time(lambda: roi_align(fmap, rois, spatial_scale=1 / 16.0,
-                                  pooled=7))
-    pallas = _time(lambda: roi_align_pallas(fmap, rois,
-                                            spatial_scale=1 / 16.0,
-                                            pooled=7), iters=3)
-    return {"xla_ms": round(xla, 2), "pallas_ms": round(pallas, 2),
-            "winner": "pallas" if pallas < xla else "xla"}
+    fmap, rois = _roi_load()
+    if stage == "xla":
+        return _time(lambda: roi_align(fmap, rois, spatial_scale=1 / 16.0,
+                                       pooled=7))
+    return _time(lambda: roi_align_pallas(fmap, rois,
+                                          spatial_scale=1 / 16.0,
+                                          pooled=7), iters=3)
 
 
-def gate_outer_roi():
+def stage_outer_roi(stage: str):
     """Outer-product (single-matmul) RoIAlign vs separable, same load."""
-    import jax
-    import jax.numpy as jnp
-
     from sgg_tpu.ops.roi_align import roi_align
 
-    B, H, W, C, R = 24, 37, 37, 512, 256
-    k1, k2 = jax.random.split(jax.random.key(0))
-    fmap = jax.random.normal(k1, (B, H, W, C), jnp.bfloat16)
-    rois = jax.random.uniform(k2, (B, R, 4), jnp.float32) * 500
-    rois = rois.at[..., 2:].set(rois[..., :2] + 90)
-
-    sep = _time(lambda: roi_align(fmap, rois, spatial_scale=1 / 16.0,
-                                  pooled=7, method="separable"))
-    outer = _time(lambda: roi_align(fmap, rois, spatial_scale=1 / 16.0,
-                                    pooled=7, method="outer"))
-    return {"separable_ms": round(sep, 2), "outer_ms": round(outer, 2),
-            "winner": "outer" if outer < sep else "separable"}
+    fmap, rois = _roi_load()
+    return _time(lambda: roi_align(fmap, rois, spatial_scale=1 / 16.0,
+                                   pooled=7, method=stage))
 
 
-def gate_s2d_stem():
-    """Space-to-depth stem conv vs direct conv (bf16 24x592x592x3 -> 64)."""
+def _stem_load():
     import jax
     import jax.numpy as jnp
+
+    B = 24
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(k1, (B, 592, 592, 3), jnp.bfloat16)
+    w = jax.random.normal(k2, (3, 3, 3, 64), jnp.bfloat16) * 0.1
+    b = jnp.zeros((64,), jnp.bfloat16)
+    return x, w, b
+
+
+def _stem_direct_ms():
+    import jax
     from jax import lax
+
+    x, w, b = _stem_load()
+
+    def direct(x):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    return _time(lambda: jax.jit(direct)(x))
+
+
+def stage_s2d_stem(stage: str):
+    """Space-to-depth stem conv vs direct conv (bf16 24x592x592x3 -> 64)."""
+    import jax
 
     from sgg_tpu.ops.stem_conv import stem_conv_s2d
 
-    B = 24
-    k1, k2 = jax.random.split(jax.random.key(0))
-    x = jax.random.normal(k1, (B, 592, 592, 3), jnp.bfloat16)
-    w = jax.random.normal(k2, (3, 3, 3, 64), jnp.bfloat16) * 0.1
-    b = jnp.zeros((64,), jnp.bfloat16)
-
-    def direct(x):
-        return lax.conv_general_dilated(
-            x, w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
-
-    direct_j = jax.jit(direct)
+    if stage == "direct":
+        return _stem_direct_ms()
+    x, w, b = _stem_load()
     s2d_j = jax.jit(lambda x: stem_conv_s2d(x, w, b, block=2))
-    d = _time(lambda: direct_j(x))
-    s = _time(lambda: s2d_j(x))
-    return {"direct_ms": round(d, 2), "s2d_ms": round(s, 2),
-            "winner": "s2d" if s < d else "direct"}
+    return _time(lambda: s2d_j(x))
 
 
-def gate_vgg_stem_pallas():
+def stage_vgg_stem_pallas(stage: str):
     """Pallas VGG stem kernel: does it lower on this toolchain, and how
     does it compare to the direct conv?"""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
     from sgg_tpu.ops.vgg_stem_pallas import vgg_conv1_pallas
 
-    B = 24
-    k1, k2 = jax.random.split(jax.random.key(0))
-    x = jax.random.normal(k1, (B, 592, 592, 3), jnp.bfloat16)
-    w = jax.random.normal(k2, (3, 3, 3, 64), jnp.bfloat16) * 0.1
-    b = jnp.zeros((64,), jnp.bfloat16)
+    if stage == "direct":
+        return _stem_direct_ms()
+    x, w, b = _stem_load()
+    return _time(lambda: vgg_conv1_pallas(x, w, b), iters=3)
 
-    def direct(x):
-        return lax.conv_general_dilated(
-            x, w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
 
-    d = _time(lambda: jax.jit(direct)(x))
-    p = _time(lambda: vgg_conv1_pallas(x, w, b), iters=3)
-    return {"direct_ms": round(d, 2), "pallas_ms": round(p, 2),
-            "winner": "pallas" if p < d else "direct"}
+def _run_stage(gate: str, stage: str):
+    """One stage in a bounded subprocess -> ms | {'error': ...}."""
+    t0 = time.time()
+    try:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), gate, stage],
+            capture_output=True, text=True, timeout=PER_STAGE_TIMEOUT,
+            cwd=ROOT, env=env)
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith("STAGE_RESULT ")]
+        if proc.returncode == 0 and line:
+            return json.loads(line[0][len("STAGE_RESULT "):])["ms"]
+        return {"error": f"rc={proc.returncode}",
+                "tail": (proc.stdout + proc.stderr)[-400:],
+                "elapsed_s": round(time.time() - t0, 1)}
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout@{PER_STAGE_TIMEOUT}s",
+                "elapsed_s": round(time.time() - t0, 1)}
 
 
 def main():
-    if len(sys.argv) > 1:
-        gate = sys.argv[1]
-        result = globals()[f"gate_{gate}"]()
-        print("GATE_RESULT " + json.dumps({gate: result}))
+    if len(sys.argv) > 2:
+        gate, stage = sys.argv[1], sys.argv[2]
+        ms = globals()[f"stage_{gate}"](stage)
+        print("STAGE_RESULT " + json.dumps({"ms": round(ms, 2)}))
         return
 
     results = {}
-    for gate in GATES:
+    for gate, (base, cand) in STAGES.items():
         t0 = time.time()
-        try:
-            env = dict(os.environ)
-            env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), gate],
-                capture_output=True, text=True, timeout=PER_GATE_TIMEOUT,
-                cwd=ROOT, env=env)
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("GATE_RESULT ")]
-            if proc.returncode == 0 and line:
-                results.update(json.loads(line[0][len("GATE_RESULT "):]))
-            else:
-                tail = (proc.stdout + proc.stderr)[-400:]
-                results[gate] = {"error": f"rc={proc.returncode}",
-                                 "tail": tail}
-        except subprocess.TimeoutExpired:
-            results[gate] = {"error": "timeout",
-                             "tail": f">{PER_GATE_TIMEOUT}s"}
-        results[gate]["elapsed_s"] = round(time.time() - t0, 1)
-        print(f"{gate}: {json.dumps(results[gate])}", flush=True)
+        r = {}
+        base_ms = _run_stage(gate, base)
+        cand_ms = _run_stage(gate, cand)
+        r[f"{base}_ms"] = base_ms
+        r[f"{cand}_ms"] = cand_ms
+        if isinstance(base_ms, float) and isinstance(cand_ms, float):
+            r["winner"] = cand if cand_ms < base_ms else base
+        else:
+            bad = base if not isinstance(base_ms, float) else cand
+            r["winner"] = f"no_determination ({bad} failed/timed out; " \
+                          f"default stays)"
+        r["elapsed_s"] = round(time.time() - t0, 1)
+        results[gate] = r
+        print(f"{gate}: {json.dumps(r)}", flush=True)
     print(json.dumps(results, indent=2))
 
 

@@ -118,6 +118,13 @@ class Config:
     # (vgg16 trunk / resnet50 FPN 'pool' level); sgdet needs vgg16 (the
     # detector restarts at the RPN). None = off.
     feature_cache: Optional[str] = None
+    # Orientations stored per TRAIN image: 2 = both horizontal flips
+    # (exact flip augmentation, ~160 GB at VG scale), 1 = unflipped only —
+    # halves the disk/extraction cost and DISABLES flip augmentation on
+    # cached train splits (trunk(flip(x)) != flip(trunk(x)), so a stored
+    # orientation cannot be flipped after the fact). Eval splits always
+    # store 1.
+    cache_orientations: int = 2
 
     # Reproducibility metadata (reference config.py:52-60), filled by
     # __post_init__.
@@ -177,6 +184,7 @@ class Config:
             assert self.backbone == "vgg16", (
                 "-gan requires the vgg16 backbone", self.backbone)
         assert self.max_nodes >= 2 and self.max_edges >= 1
+        assert self.cache_orientations in (1, 2), self.cache_orientations
         if self.feature_cache is not None:
             if self.mode == "sgdet":
                 # the frozen sgdet detector restarts at the RPN from the
@@ -273,6 +281,11 @@ def setup_parser() -> ArgumentParser:
                         "extract trunk fmaps once, then train/eval from "
                         "the cache (any mode incl. -gan; sgdet needs "
                         "the vgg16 backbone)")
+    p.add_argument("-cache_orientations", dest="cache_orientations",
+                   type=int, default=2, choices=[1, 2],
+                   help="train-split orientations stored in the feature "
+                        "cache: 2 = both flips (exact augmentation), 1 = "
+                        "half the disk, flip augmentation disabled")
     return p
 
 

@@ -176,9 +176,14 @@ def extract_trunk_cache(path: str, dataset, trunk_fn, *,
                         batch_size: int = 8, im_scale: int = IM_SCALE,
                         stride: int = 16, image_format: str = "uint8",
                         fingerprint: str = "", with_images: bool = True,
-                        progress: bool = True) -> FeatureCache:
+                        progress: bool = True,
+                        n_orient: Optional[int] = None) -> FeatureCache:
     """Run the frozen trunk over every image (both flips for train splits)
     and persist the feature maps.
+
+    ``n_orient``: orientations to store (None = 2 for train splits, 1
+    otherwise). 1 on a train split halves disk/extraction cost; the cached
+    loader then disables flip augmentation (``config.cache_orientations``).
 
     Args:
       path: output h5 file.
@@ -198,7 +203,9 @@ def extract_trunk_cache(path: str, dataset, trunk_fn, *,
     from sgg_tpu.data.pipeline import load_source_image, prepare_example
 
     n = len(dataset)
-    n_orient = 2 if getattr(dataset, "is_train", False) else 1
+    if n_orient is None:
+        n_orient = 2 if getattr(dataset, "is_train", False) else 1
+    assert n_orient in (1, 2), n_orient
     rng = np.random.RandomState(0)  # never consulted (flip is forced)
 
     def canvases(idx: int):

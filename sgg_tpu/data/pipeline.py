@@ -150,6 +150,10 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     def place(x):
         if x is None:
             return None
+        if isinstance(x, jax.Array):
+            # already placed upstream (e.g. a process-spanning global
+            # batch from distributed.global_batch) — don't re-transfer
+            return x
         if sharding is not None:
             return jax.device_put(x, sharding)
         return jnp.asarray(x)
@@ -200,12 +204,21 @@ class BatchLoader:
                  prefetch: int = 2, seed: int = 0,
                  with_images: bool = True, im_scale: int = IM_SCALE,
                  buckets=None, image_format: str = "float32",
-                 feature_cache=None):
+                 feature_cache=None, shard=None):
         """``buckets``: optional ascending list of (max_nodes, max_edges)
         shape buckets. Images are grouped into the smallest bucket whose
         node capacity fits them, so small graphs stop paying the global
         padding cost (one compiled step per bucket shape). None = a single
-        global (max_nodes, max_edges) shape."""
+        global (max_nodes, max_edges) shape.
+
+        ``shard``: optional ``(process_index, process_count)`` for
+        multi-host runs — every process computes the SAME shuffled batch
+        order (same seed/epoch) but loads only its contiguous
+        ``batch_size / process_count`` slice of each batch; the Trainer
+        assembles the global batch via ``parallel.distributed.global_batch``.
+        Example-level randomness (flips) is keyed on (seed, epoch, image
+        index), so the sharded global batch is bit-identical to the
+        single-process one."""
         self.ds = dataset
         self.batch_size = batch_size
         self.max_nodes = max_nodes
@@ -238,6 +251,13 @@ class BatchLoader:
             assert self.feature_cache.complete(), (
                 f"feature cache {self.feature_cache.path} is incomplete "
                 f"— re-run extraction")
+        if shard is not None:
+            pid, n_proc = shard
+            assert 0 <= pid < n_proc, shard
+            assert batch_size % n_proc == 0, (
+                f"batch_size {batch_size} not divisible across "
+                f"{n_proc} processes")
+        self.shard = shard
         self._epoch = 0
 
     def __len__(self):
@@ -271,20 +291,37 @@ class BatchLoader:
         orientation."""
         oh, ow = self.feature_cache.orig_hw(idx)
         ch, cw, s = content_size(oh, ow, self.im_scale)
+        # single-orientation cache (config.cache_orientations=1): the
+        # stored fmap is unflipped and can't be flipped post hoc — pin the
+        # draw (flip augmentation off for this run, by explicit opt-in)
+        force = False if (self.ds.is_train
+                          and self.feature_cache.n_orient == 1) else None
         boxes, rels, flipped = prepare_boxes(
             self.ds.gt_boxes[idx], self.ds.relationships[idx],
             self.ds.box_coordinates, self.ds.is_train, rng, ch, cw, s,
             im_scale=self.im_scale,
-            filter_duplicates=self.ds.filter_duplicates)
+            filter_duplicates=self.ds.filter_duplicates,
+            force_flip=force)
         fmap = self.feature_cache.read(idx, flipped)
         scale_org = max(oh, ow) / self.im_scale
         return fmap, boxes, rels, (ch, cw), scale_org
 
-    def _assemble(self, indices, rng, max_nodes=None,
+    def _example_rng(self, epoch: int, idx: int) -> np.random.RandomState:
+        """Per-example RNG keyed on (seed, epoch, image index).
+
+        One RandomState per example (not one shared stream): RandomState is
+        not thread-safe under the decode pool, and keying on the index makes
+        flip draws identical whether a batch is assembled by one process or
+        sliced across hosts (``shard``)."""
+        ss = np.random.SeedSequence([self.seed, epoch, idx])
+        return np.random.RandomState(ss.generate_state(4))
+
+    def _assemble(self, indices, epoch, max_nodes=None,
                   max_edges=None) -> GraphBatch:
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             examples = list(pool.map(
-                lambda i: self._make_example(i, rng), indices))
+                lambda i: self._make_example(i, self._example_rng(epoch, i)),
+                indices))
         stacked = np.stack([e[0] for e in examples])
         cached = self.feature_cache is not None
         im_hw = np.asarray([e[3] for e in examples], np.float32)
@@ -324,7 +361,8 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[GraphBatch]:
         order = np.arange(len(self.ds))
-        rng = np.random.RandomState(self.seed + self._epoch)
+        epoch = self._epoch
+        rng = np.random.RandomState(self.seed + epoch)
         self._epoch += 1
         if self.shuffle:
             rng.shuffle(order)
@@ -338,6 +376,22 @@ class BatchLoader:
                                              self.batch_size)
             chunks = [(None, order[max(0, e - self.batch_size):min(e, n)])
                       for e in ends]
+        if self.shard is not None:
+            # every process computed the same `chunks`; keep only this
+            # host's contiguous slice of each one (matching the data-axis
+            # shard layout of parallel.distributed.global_batch)
+            pid, n_proc = self.shard
+            sliced = []
+            for bucket, chunk in chunks:
+                if len(chunk) % n_proc:
+                    # wrap-pad the tail batch to a process multiple (torch
+                    # DistributedSampler semantics: a few images repeat
+                    # rather than the pod crashing / idling on the tail)
+                    pad = n_proc - len(chunk) % n_proc
+                    chunk = np.concatenate([chunk, chunk[:pad]])
+                per = len(chunk) // n_proc
+                sliced.append((bucket, chunk[pid * per:(pid + 1) * per]))
+            chunks = sliced
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -351,9 +405,9 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     if bucket is None:
-                        q.put(self._assemble(chunk, rng))
+                        q.put(self._assemble(chunk, epoch))
                     else:
-                        q.put(self._assemble(chunk, rng,
+                        q.put(self._assemble(chunk, epoch,
                                              max_nodes=bucket[0],
                                              max_edges=bucket[1]))
                 q.put(None)

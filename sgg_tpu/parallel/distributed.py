@@ -45,6 +45,36 @@ def initialize(coordinator_address: Optional[str] = None,
         raise
 
 
+def sync_processes(name: str, timeout_s: int = 600) -> None:
+    """Align all processes at a named point WITHOUT a device collective.
+
+    XLA:CPU's gloo contexts are created lazily at the first collective
+    with a hardcoded 30 s key-exchange deadline — if one process reaches a
+    program dispatch >30 s before its peers (e.g. process 0 just spent a
+    minute extracting the feature cache, or compile times diverge on a
+    loaded host), the whole job dies with "Gloo context initialization
+    failed: DEADLINE_EXCEEDED". This barrier rides the coordination
+    service's gRPC channel instead (arbitrary timeout, no device programs),
+    so callers place it right before compile/dispatch-heavy collective
+    regions. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    if client is None:  # initialized by an external launcher we can't see
+        return
+    # barrier IDs are one-shot; the module-level counter keeps them unique
+    # while staying identical across processes (same call sequence)
+    global _barrier_seq
+    _barrier_seq += 1
+    client.wait_at_barrier(f"sgg_{name}_{_barrier_seq}",
+                           timeout_in_ms=timeout_s * 1000)
+
+
+_barrier_seq = 0
+
+
 def process_local_indices(n: int, batch_size: int) -> np.ndarray:
     """The slice of each global batch this host is responsible for.
 

@@ -90,6 +90,16 @@ class Trainer:
                 and config.batch_size % n_dev == 0:
             from sgg_tpu.parallel import make_mesh
             self.mesh = make_mesh(n_dev, axis_name=config.dp_axis)
+        self.multihost = False
+        if self.mesh is not None:
+            from sgg_tpu.parallel.mesh import is_multiprocess
+            self.multihost = is_multiprocess(self.mesh)
+        if self.multihost and config.gan:
+            # the GAN/perturb path pulls batch.classes back to the host,
+            # which a process-spanning array does not allow
+            raise NotImplementedError(
+                "GAN training is single-process for now — run -gan without "
+                "multi-host, or shard at the data level externally")
 
         if config.mode != "sgdet" and config.max_edges < config.rels_per_img:
             # the padded edge bucket bounds the per-image relation budget
@@ -311,10 +321,15 @@ class Trainer:
         if src_bs is not None:  # resnet50 BN statistics shape the output
             fp_tree["batch_stats"] = src_bs
         fp = params_fingerprint(jax.tree_util.tree_map(np.asarray, fp_tree))
+        # storage budget: train splits store cfg.cache_orientations (1 =
+        # half the disk, flip augmentation off); eval splits never flip.
+        # An existing cache with MORE orientations is a valid superset.
+        want_orient = (cfg.cache_orientations if dataset.is_train else 1)
         if os.path.exists(path):
             try:
                 cache = FeatureCache(path)
-                if cache.complete() and cache.fingerprint == fp:
+                if cache.complete() and cache.fingerprint == fp \
+                        and cache.n_orient >= want_orient:
                     self._feature_caches[split_name] = cache
                     return cache
                 print(f"[feature_cache] {path} stale "
@@ -331,7 +346,8 @@ class Trainer:
             while time.time() < deadline:
                 try:
                     cache = FeatureCache(path)
-                    if cache.complete() and cache.fingerprint == fp:
+                    if cache.complete() and cache.fingerprint == fp \
+                            and cache.n_orient >= want_orient:
                         self._feature_caches[split_name] = cache
                         return cache
                     cache.close()
@@ -366,7 +382,7 @@ class Trainer:
             path, dataset, trunk_fn, stride=stride,
             batch_size=min(8, max(len(dataset), 1)),
             image_format=cfg.image_format, fingerprint=fp,
-            with_images=self.with_images)
+            with_images=self.with_images, n_orient=want_orient)
         print(f"[feature_cache] extracted {split_name} "
               f"({len(dataset)} images) in {time.time() - t0:.1f}s")
         cache = FeatureCache(path)
@@ -377,6 +393,13 @@ class Trainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         """One epoch (reference train_epoch, main.py:196-236)."""
         cfg = self.config
+        # multi-host: each process decodes only its slice of every batch
+        # (identical global order; see BatchLoader.shard) and the global
+        # sharded batch is assembled below — the pod never loads an image
+        # twice (reference analogue: DistributedSampler in
+        # detector/utils.py; the SGG trainer itself is single-GPU there)
+        shard = (jax.process_index(), jax.process_count()) \
+            if self.multihost else None
         loader = BatchLoader(self.train_data, batch_size=cfg.batch_size,
                              max_nodes=cfg.max_nodes,
                              max_edges=cfg.max_edges, seed=cfg.seed,
@@ -384,16 +407,25 @@ class Trainer:
                              with_images=self.with_images,
                              image_format=cfg.image_format,
                              feature_cache=self._feature_cache_for(
-                                 "train", self.train_data))
+                                 "train", self.train_data),
+                             shard=shard)
         loader._epoch = epoch
+        # align the pod before the first collective dispatch of the epoch:
+        # process 0 may have just spent minutes extracting the feature
+        # cache, and XLA:CPU's lazy gloo contexts die if peers arrive >30 s
+        # apart (see parallel.distributed.sync_processes)
+        self._sync(f"epoch{epoch}")
         from sgg_tpu.data.pipeline import device_prefetch, to_image_dtype
         sharding = None
-        if self.mesh is not None:
+        source = (to_image_dtype(b, cfg.compute_dtype) for b in loader)
+        if self.multihost:
+            from sgg_tpu.parallel import distributed as dist
+            source = (dist.global_batch(b, self.mesh, cfg.dp_axis)
+                      for b in source)
+        elif self.mesh is not None:
             from sgg_tpu.parallel import batch_sharding
             sharding = batch_sharding(self.mesh, cfg.dp_axis)
-        batches = device_prefetch(
-            (to_image_dtype(b, cfg.compute_dtype) for b in loader),
-            sharding=sharding)
+        batches = device_prefetch(source, sharding=sharding)
         accum = defaultdict(list)
         epoch_means = defaultdict(list)
         t0 = time.time()
@@ -447,6 +479,14 @@ class Trainer:
         return {k: float(np.mean(v)) for k, v in epoch_means.items()}
 
     # ------------------------------------------------------------------
+    def _sync(self, tag: str) -> None:
+        """Cross-process alignment barrier (no-op single-process)."""
+        if not self.multihost:
+            return
+        from sgg_tpu.parallel import distributed as dist
+        dist.sync_processes(tag)
+
+    # ------------------------------------------------------------------
     def evaluate(self, split_names, n_batches: int = -1,
                  verbose: bool = True,
                  collect_entries: bool = False) -> Dict[str, float]:
@@ -455,6 +495,7 @@ class Trainer:
             ds = self.splits.get(name)
             if ds is None or len(ds) == 0:
                 continue
+            self._sync(f"eval_{name}")
             res = val_epoch(
                 self.model, self.variables, ds, self.config, name,
                 train=self.train_data, n_batches=n_batches,
@@ -462,6 +503,9 @@ class Trainer:
                 collect_entries=collect_entries,
                 feature_cache=self._feature_cache_for(name, ds),
                 detector=self.detector, det_variables=self.det_variables,
+                # DP eval over the pod (single-host meshes keep the
+                # compiled single-device eval steps warm across epochs)
+                mesh=self.mesh if self.multihost else None,
                 # eval results go to W&B as summaries, repeated at test time
                 # to survive the trailing-sync loss (reference lib/eval.py:
                 # 108-110, log_repeats=5 if is_test)
@@ -502,6 +546,10 @@ class Trainer:
         if not cfg.notest:
             results = self.evaluate(test_names,
                                     collect_entries=cfg.save_scores)
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                # metrics are identical on every host (gathered eval);
+                # only process 0 writes the shared artifacts
+                return results
             if cfg.save_dir and results:
                 with open(os.path.join(cfg.save_dir, "test_results.json"),
                           "w") as f:

@@ -1,0 +1,54 @@
+"""Worker for the 2-process FULL Trainer loop test (VERDICT r3 item 6).
+
+Usage: python multihost_trainer_worker.py <pid> <n_proc> <port> <workdir>
+
+Runs the complete ``Trainer.fit`` — per-process loader sharding across
+epochs (BatchLoader.shard), per-epoch Orbax checkpoint + DP validation over
+the 2-process mesh, process-0 feature-cache extraction consumed by both
+processes — as ONE program, then re-constructs a Trainer from the shared
+save_dir to exercise multi-host resume. Prints ``MHTR_*`` markers the parent
+compares across processes and against a single-process run.
+"""
+
+import os
+import sys
+
+
+def main():
+    proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    workdir = sys.argv[4]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from sgg_tpu.parallel import distributed as dist
+    dist.initialize(coordinator_address=f"localhost:{port}",
+                    num_processes=n_proc, process_id=proc_id)
+    assert jax.process_count() == n_proc, jax.process_count()
+
+    from multihost_trainer_common import build_trainer, run_fit
+
+    trainer = build_trainer(workdir)
+    # n_proc=2: 4 virtual devices/process; n_proc=1: the 8-device
+    # single-process reference run — same 8-device global mesh either way
+    assert trainer.multihost == (n_proc > 1)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+
+    last_loss, results = run_fit(trainer)
+    print(f"MHTR_LOSS {last_loss:.10f}", flush=True)
+    print(f"MHTR_TEST {results['predcls/test_alls_R@100_GC']:.10f}",
+          flush=True)
+
+    # the cache must have been produced by process 0 and consumed here
+    assert trainer._feature_caches.get("train") is not None, \
+        "train feature cache was never attached"
+
+    # multi-host resume: a fresh Trainer over the shared save_dir restores
+    # the (process-spanning, replicated) state and reports the next epoch
+    trainer2 = build_trainer(workdir)
+    print(f"MHTR_RESUME {trainer2.start_epoch}", flush=True)
+    v = trainer2.evaluate(("test_alls",), verbose=False)
+    print(f"MHTR_RETEST {v['predcls/test_alls_R@100_GC']:.10f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,70 @@ def test_two_process_multihost_dp_step(tmp_path):
     _, metrics = step(state, shard_batch(gb, mesh), jax.random.key(1))
     np.testing.assert_allclose(losses[0], float(metrics["total"]),
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_full_trainer_loop(tmp_path):
+    """The COMPLETE Trainer.fit loop as one program under 2 processes
+    (VERDICT r3 item 6): per-process loader sharding across both epochs
+    (BatchLoader.shard), per-epoch Orbax checkpoint + DP val over the
+    2-process mesh, process-0 feature-cache extraction consumed by both —
+    then a multi-host resume from the shared save_dir. Losses/metrics must
+    agree across processes AND with an identically-configured
+    single-process 8-device run (same global batches by construction:
+    example randomness is keyed on (seed, epoch, index))."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "multihost_trainer_worker.py")
+
+    def launch(pid, n_proc, port, workdir, n_dev):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
+        env["PYTHONPATH"] = root
+        env["SGG_IM_SCALE"] = "96"  # small canvases: CPU-tier trunk
+        return subprocess.Popen(
+            [sys.executable, worker, str(pid), str(n_proc), str(port),
+             workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=root)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    mh_dir = str(tmp_path / "mh")
+    procs = [launch(pid, 2, port, mh_dir, 4) for pid in (0, 1)]
+
+    def markers(proc, who):
+        out = proc.communicate(timeout=1500)[0]
+        assert proc.returncode == 0, f"{who} failed:\n{out[-4000:]}"
+        vals = {}
+        for marker in ("MHTR_LOSS", "MHTR_TEST", "MHTR_RESUME",
+                       "MHTR_RETEST"):
+            m = re.search(marker + r" ([0-9]+\.?[0-9]*)", out)
+            assert m, (who, marker, out[-3000:])
+            vals[marker] = float(m.group(1))
+        return vals
+
+    got = [markers(p, f"worker {i}") for i, p in enumerate(procs)]
+    # the single-process reference run (8 virtual devices, its own dirs)
+    # runs AFTER the pair: a third concurrent JAX process on a small host
+    # skews compile times past gloo's 30 s context-init deadline
+    ref = launch(0, 1, "0", str(tmp_path / "ref"), 8)
+    ref_vals = markers(ref, "reference")
+
+    # both processes see identical losses/metrics (host_mean'd programs)
+    assert got[0] == got[1], (got[0], got[1])
+    # the sharded-loader 2-process run reproduces the single-process run
+    np.testing.assert_allclose(got[0]["MHTR_LOSS"], ref_vals["MHTR_LOSS"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(got[0]["MHTR_TEST"], ref_vals["MHTR_TEST"],
+                               atol=1e-9)
+    assert got[0]["MHTR_RESUME"] == ref_vals["MHTR_RESUME"] == 2.0
+    # post-resume eval reproduces the pre-resume test metric
+    np.testing.assert_allclose(got[0]["MHTR_RETEST"], got[0]["MHTR_TEST"],
+                               atol=1e-9)

@@ -153,6 +153,43 @@ def test_eval_split_single_orientation(tmp_path):
     cache.close()
 
 
+def test_train_split_single_orientation_mode(tmp_path):
+    """config.cache_orientations=1: the train cache stores HALF the bytes
+    of the 2-orientation cache, the cached loader pins every flip draw to
+    False (flip augmentation off, documented trade), and reading a flipped
+    orientation is a loud error."""
+    ds = _dataset(tmp_path, n=6, mode="train")
+    trunk_fn, _ = _trunk_fn()
+    cache = extract_trunk_cache(str(tmp_path / "t1.h5"), ds, trunk_fn,
+                                batch_size=3, im_scale=IM,
+                                image_format="uint8", progress=False,
+                                n_orient=1)
+    assert cache.complete() and cache.n_orient == 1
+    cache2 = extract_trunk_cache(str(tmp_path / "t2.h5"), ds, trunk_fn,
+                                 batch_size=3, im_scale=IM,
+                                 image_format="uint8", progress=False)
+    assert cache2._f["fmaps"].size == 2 * cache._f["fmaps"].size
+
+    common = dict(batch_size=3, max_nodes=8, max_edges=8, num_workers=1,
+                  shuffle=False, im_scale=IM, image_format="uint8")
+    for seed in (0, 7):  # several rng streams: the draw is pinned, not lucky
+        for b_i, cb in enumerate(BatchLoader(ds, feature_cache=cache,
+                                             seed=seed, **common)):
+            for j in range(cb.fmaps.shape[0]):
+                idx = b_i * 3 + j
+                np.testing.assert_array_equal(
+                    np.asarray(cb.fmaps[j]).view(np.uint16),
+                    cache.read(idx, False).view(np.uint16))
+    with pytest.raises(AssertionError):
+        cache.read(0, flip=True)
+
+    from sgg_tpu.config import config_from_args
+    assert config_from_args(["-cache_orientations", "1"]
+                            ).cache_orientations == 1
+    cache.close()
+    cache2.close()
+
+
 def test_model_step_from_cached_fmaps(tmp_path):
     """A train step consuming batch.fmaps runs and matches the same step fed
     the identical fmap through the image-free model path."""

@@ -100,34 +100,32 @@ def layer_names():
     return names
 
 
-def prefix_fn(params, upto):
-    """Apply normalize + the first `upto` VGG16 layers (jit-compiled)."""
-    trunk = VGG16Trunk(dtype=jnp.bfloat16)
-
-    def fn(x):
-        return trunk.apply({"params": params}, x,
-                           method=lambda m, x: _prefix_apply(m, x, upto))
-    return jax.jit(fn)
-
-
-def _prefix_apply(m, x, upto):
+def _prefix_apply(params, x, upto):
+    """normalize + the first `upto` VGG16 layers, pure jax (flax modules
+    can't be constructed outside a compact scope)."""
     from sgg_tpu.models.backbone import normalize_images
-    from flax import linen as nn
-    x = normalize_images(x).astype(m.dtype)
-    i = 0
+    x = normalize_images(x).astype(jnp.bfloat16)
     conv_i = 0
-    for v in VGG16_CFG:
+    for i, v in enumerate(VGG16_CFG):
         if i >= upto:
             break
         if v == "M":
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID")
         else:
-            x = nn.Conv(v, (3, 3), padding=1, dtype=m.dtype,
-                        name=f"Conv_{conv_i}")(x)
-            x = nn.relu(x)
+            p = params[f"Conv_{conv_i}"]
+            x = jax.lax.conv_general_dilated(
+                x, p["kernel"].astype(jnp.bfloat16), (1, 1),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.relu(x + p["bias"].astype(jnp.bfloat16))
             conv_i += 1
-        i += 1
     return x
+
+
+def prefix_fn(params, upto):
+    return jax.jit(lambda x: _prefix_apply(params, x, upto))
 
 
 # ---------------------------------------------------------------- variants
@@ -203,6 +201,32 @@ def make_im2col(params):
     return jax.jit(fn)
 
 
+def make_im2col_manual(params):
+    """conv1_1 as HAND-ROLLED im2col: 9 static pad-slices concatenated on
+    the channel axis, then ONE (B*H*W, 27) @ (27, 64) matmul.
+
+    conv_general_dilated_patches lowers to the same pathological small-C
+    conv being replaced (im2col variant: 0.68x); explicit slices turn the
+    patch build into pure bandwidth (~1.5 GB of moves) and the compute into
+    a 27-deep MXU contraction (~21% of a 128 lane, vs the 0.8% MFU the
+    direct conv achieves)."""
+    k = params["Conv_0"]["kernel"]  # (3, 3, 3, 64) HWIO
+    b = params["Conv_0"]["bias"]
+    w = k.reshape(-1, k.shape[-1])  # (kh, kw, C) flatten -> (27, 64)
+
+    def fn(x):
+        x = _norm(x).astype(jnp.bfloat16)
+        bsz, h, wd, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        rows = [xp[:, dh:dh + h] for dh in range(3)]          # H taps
+        patches = jnp.concatenate(
+            [r[:, :, dw:dw + wd] for r in rows for dw in range(3)], -1)
+        y = patches @ w.astype(jnp.bfloat16)                  # (B,H,W,64)
+        y = jax.nn.relu(y + b.astype(jnp.bfloat16))
+        return _tail_from(params, x, y)
+    return jax.jit(fn)
+
+
 def make_fold_norm(params):
     """Fold ImageNet normalization into conv1_1: conv((u-m)/s, K) =
     conv(u, K/s) - conv(m/s, K) — the second term is a constant bias."""
@@ -224,6 +248,39 @@ def make_fold_norm(params):
 
 
 # ------------------------------------------------------------- dimnum sweep
+
+def stem_dimnum_sweep(iters):
+    """conv1_1-shaped conv (3->64 @ 592^2, B=24) under operand orders.
+
+    The 3-channel stem is the trunk's one slow layer; channel-minor NHWC
+    forces XLA to pad C 3->128 in HBM (~40x traffic inflation). NCHW makes
+    W the minor dim (no tiny-lane pad), so the sweep checks whether any
+    XLA-level operand order sidesteps the pathology."""
+    rng = np.random.RandomState(0)
+    res = {}
+    x_nhwc = jnp.asarray(rng.randn(24, 592, 592, 3), jnp.bfloat16)
+    k_hwio = jnp.asarray(rng.randn(3, 3, 3, 64), jnp.bfloat16)
+    cases = {
+        "NHWC/HWIO": (x_nhwc, k_hwio, ("NHWC", "HWIO", "NHWC")),
+        "NHWC/HWIO->NCHW": (x_nhwc, k_hwio, ("NHWC", "HWIO", "NCHW")),
+        "NCHW/OIHW": (jnp.transpose(x_nhwc, (0, 3, 1, 2)),
+                      jnp.transpose(k_hwio, (3, 2, 0, 1)),
+                      ("NCHW", "OIHW", "NCHW")),
+        "NCHW/OIHW->NHWC": (jnp.transpose(x_nhwc, (0, 3, 1, 2)),
+                            jnp.transpose(k_hwio, (3, 2, 0, 1)),
+                            ("NCHW", "OIHW", "NHWC")),
+        "CHWN/HWIO-style": (jnp.transpose(x_nhwc, (3, 1, 2, 0)),
+                            k_hwio, ("CHWN", "HWIO", "CHWN")),
+    }
+    for name, (x, k, dn) in cases.items():
+        fn = jax.jit(lambda x, k, dn=dn: jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn))
+        try:
+            res[name] = round(time_fn(fn, x, k, iters=iters) * 1000, 2)
+        except Exception as e:
+            res[name] = f"error: {type(e).__name__}"
+    return res
+
 
 def dimnum_sweep(iters):
     """conv1_2-shaped conv (64->64 @ 592^2, B=24) under operand orders."""
@@ -255,6 +312,8 @@ def main():
     ap.add_argument("--img", type=int, default=592)
     ap.add_argument("--quick", action="store_true",
                     help="skip the per-layer prefix table (compile-heavy)")
+    ap.add_argument("--layers-only", action="store_true",
+                    help="only the baseline + per-layer table")
     args = ap.parse_args()
     B, IMG = 24, args.img
 
@@ -278,7 +337,7 @@ def main():
 
     # batch sweep: fixed overhead vs conv scaling
     out["batch_sweep"] = {}
-    for bsz in (8, 24, 48):
+    for bsz in () if args.layers_only else (8, 24, 48):
         xb = jnp.asarray(rng.randint(0, 256, (bsz, IMG, IMG, 3)), jnp.uint8)
         ms = time_fn(base_fn, xb, iters=max(3, args.iters // 2)) * 1000
         out["batch_sweep"][bsz] = {"ms": round(ms, 2),
@@ -288,11 +347,14 @@ def main():
               flush=True)
 
     # stem variants (full-trunk timings; parity asserted vs baseline)
-    ref = np.asarray(base_fn(x), np.float32)
     out["variants"] = {}
-    for name, mk in [("channel_pad8", lambda: make_channel_pad(params, 8)),
-                     ("im2col", lambda: make_im2col(params)),
-                     ("fold_norm", lambda: make_fold_norm(params))]:
+    variant_list = [] if args.layers_only else [
+        ("channel_pad8", lambda: make_channel_pad(params, 8)),
+        ("im2col", lambda: make_im2col(params)),
+        ("im2col_manual", lambda: make_im2col_manual(params)),
+        ("fold_norm", lambda: make_fold_norm(params))]
+    ref = None if args.layers_only else np.asarray(base_fn(x), np.float32)
+    for name, mk in variant_list:
         try:
             fn = mk()
             got = np.asarray(fn(x), np.float32)
@@ -309,8 +371,11 @@ def main():
             out["variants"][name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"  {name:14s}: ERROR {e}", flush=True)
 
-    out["dimnum_conv1_2"] = dimnum_sweep(max(3, args.iters // 2))
-    print(f"  conv1_2 dimnums: {out['dimnum_conv1_2']}", flush=True)
+    if not args.layers_only:
+        out["dimnum_conv1_2"] = dimnum_sweep(max(3, args.iters // 2))
+        print(f"  conv1_2 dimnums: {out['dimnum_conv1_2']}", flush=True)
+        out["dimnum_conv1_1"] = stem_dimnum_sweep(max(3, args.iters // 2))
+        print(f"  conv1_1 dimnums: {out['dimnum_conv1_1']}", flush=True)
 
     if not args.quick:
         # per-layer table via compiled-prefix diffs
@@ -319,9 +384,7 @@ def main():
         for upto in range(1, len(VGG16_CFG) + 1):
             fn = prefix_fn(params, upto)
             ms = time_fn(fn, x, iters=max(3, args.iters // 2)) * 1000
-            fl = flops_of(lambda x, u=upto: _prefix_apply(
-                VGG16Trunk(dtype=jnp.bfloat16).bind({"params": params}),
-                x, u), x)
+            fl = flops_of(lambda x, u=upto: _prefix_apply(params, x, u), x)
             prefix_ms.append(ms)
             prefix_flops.append(fl)
         table = []

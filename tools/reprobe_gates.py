@@ -43,7 +43,9 @@ STAGES = {
     "s2d_stem": ("direct", "s2d"),
     "vgg_stem_pallas": ("direct", "pallas"),
 }
-PER_STAGE_TIMEOUT = 120
+# Env-overridable: the remote-compile tunnel has slow hours where even the
+# baseline stage's compile alone exceeds 120 s.
+PER_STAGE_TIMEOUT = int(os.environ.get("SGG_GATE_TIMEOUT", "120"))
 
 
 def _sync(x):
@@ -219,14 +221,23 @@ def main():
         r[f"{cand}_ms"] = cand_ms
         if isinstance(base_ms, float) and isinstance(cand_ms, float):
             r["winner"] = cand if cand_ms < base_ms else base
+        elif (isinstance(cand_ms, dict)
+              and not cand_ms.get("error", "").startswith("timeout")):
+            # the candidate HARD-fails (e.g. a Mosaic lowering rejection):
+            # that IS a determination — the default stays, with evidence
+            r["winner"] = f"{base} (candidate fails on this toolchain)"
         else:
             bad = base if not isinstance(base_ms, float) else cand
-            r["winner"] = f"no_determination ({bad} failed/timed out; " \
+            r["winner"] = f"no_determination ({bad} timed out; " \
                           f"default stays)"
         r["elapsed_s"] = round(time.time() - t0, 1)
         results[gate] = r
         print(f"{gate}: {json.dumps(r)}", flush=True)
     print(json.dumps(results, indent=2))
+    out_path = os.environ.get("SGG_GATES_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

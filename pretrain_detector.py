@@ -144,19 +144,50 @@ def pretrain(splits, *, num_epochs: int = 10, batch_size: int = 3,
 
 
 def main():
+    """CLI: pretrain_detector.py {vg,gqa} DATA_DIR OUT_DIR
+                                 [EPOCHS=10] [BATCH=3|2] [NUM_VAL_IM=5000]
+
+    Defaults match the reference (``pretrain_detector.py:130,145-149``):
+    10 epochs, batch 3 for VG / 2 for GQA, the first 5000 train images
+    reserved for val. EPOCHS/BATCH/NUM_VAL_IM exist for miniature fixture
+    runs (a 90-image fixture has no 5000 images to reserve).
+    """
     import sys
+
+    import jax
+
+    # honor JAX_PLATFORMS=cpu explicitly: environments whose JAX plugin
+    # pins a device platform (the axon TPU tunnel) ignore the env var, so
+    # CPU-tier subprocess tests would silently run on the TPU and save
+    # TPU-sharded checkpoints (main.py does the same via -device cpu)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     dataset, data_dir, results_dir = sys.argv[1:4]
     assert dataset in ("vg", "gqa"), dataset
+    num_epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    # reference batch: 3 for stanford, 2 otherwise (pretrain_detector.py:130)
+    batch_size = int(sys.argv[5]) if len(sys.argv) > 5 else (
+        3 if dataset == "vg" else 2)
+    num_val_im = int(sys.argv[6]) if len(sys.argv) > 6 else 5000
     # only the train split is consumed — skip the five eval-split parses
     # (zero/k-shot filtering over the full scene-graph dicts) the full
     # splits() builder would pay for nothing
     if dataset == "gqa":
         from sgg_tpu.data import gqa
-        train = gqa.load_split(gqa._GQAFiles(data_dir), "train")
+        train = gqa.load_split(gqa._GQAFiles(data_dir), "train",
+                               num_val_im=num_val_im)
     else:
         from sgg_tpu.data import visual_genome as vg
-        train = vg.load_split(data_dir, "train")
-    pretrain({"train": train}, save_dir=results_dir)
+        # SGG_CHECK_SIZES=0 relaxes the full-dataset integrity asserts so
+        # miniature fixture datasets can drive this CLI too (same escape
+        # as main.py); filter_non_overlap=False matches the reference's
+        # pretraining loader (VGLoader, pretrain_detector.py:35-38)
+        check = os.environ.get("SGG_CHECK_SIZES", "1") != "0"
+        train = vg.load_split(data_dir, "train", check_sizes=check,
+                              num_val_im=num_val_im,
+                              filter_non_overlap=False)
+    pretrain({"train": train}, save_dir=results_dir,
+             num_epochs=num_epochs, batch_size=batch_size)
 
 
 if __name__ == "__main__":

@@ -54,11 +54,62 @@ def restore_payload(save_dir: str, template: Optional[Dict[str, Any]] = None,
         if epoch is None:
             return template, -1
     if template is None:
-        restored = mgr.restore(epoch)
+        # Template-less restore must be DEVICE-AGNOSTIC: a bare
+        # mgr.restore(epoch) places arrays per the save-time sharding
+        # metadata, which names the saving device ("TPU v5 lite0") and
+        # fails in a process without it (detector checkpoints are
+        # pretrained on the chip and consumed by CPU eval/test runs).
+        # Build the template from the checkpoint's own tree metadata and
+        # pin every leaf to this process's default device.
+        restored = _restore_to_local_device(save_dir, epoch)
     else:
         restored = mgr.restore(epoch,
                                args=ocp.args.StandardRestore(template))
     return restored, int(epoch)
+
+
+def optimistic_restore_payload(save_dir: str, template: Dict[str, Any],
+                               epoch: Optional[int] = None,
+                               verbose: bool = True):
+    """Tolerant resume (reference ``optimistic_restore``,
+    pytorch_misc.py:17-57): restore whatever the checkpoint holds and
+    transplant every same-path same-shape leaf into ``template``, keeping
+    the template's value elsewhere. Unlike the strict ``restore_payload``
+    this survives cross-mode resumes (e.g. an sgcls checkpoint consumed by
+    an sgdet run whose state tree has extra detector leaves — the
+    reference's GQA SGGen workflow, README.md:239-243) and cross-device
+    restores (the on-disk tree is loaded device-agnostically).
+
+    Returns (merged_payload, epoch, on_disk_keys); epoch=-1 when nothing
+    exists.
+    """
+    mgr = _manager(save_dir)
+    if epoch is None:
+        epoch = mgr.latest_step()
+        if epoch is None:
+            return template, -1, set()
+    on_disk = _restore_to_local_device(save_dir, epoch)
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(on_disk)[0]:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        flat[name] = np.asarray(leaf)
+    merged = optimistic_update(template, flat, verbose=verbose)
+    return merged, int(epoch), set(on_disk.keys())
+
+
+def _restore_to_local_device(save_dir: str, epoch: int):
+    """Restore a StandardSave payload with all leaves on the local default
+    device, regardless of which device type saved it."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(os.path.abspath(save_dir), str(epoch), "default")
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    shard = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    template = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=shard),
+        tree)
+    return ckptr.restore(path, template)
 
 
 def save_checkpoint(save_dir: str, state: TrainState, epoch: int) -> None:

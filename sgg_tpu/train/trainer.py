@@ -226,15 +226,20 @@ class Trainer:
         ckpt.save_payload(self.config.save_dir, self._payload(epoch), epoch)
 
     def _restore(self):
-        restored, last = ckpt.restore_payload(self.config.save_dir,
-                                              self._payload(0))
+        # optimistic (reference optimistic_restore semantics): tolerate
+        # checkpoints whose tree differs from this run's state — the GQA
+        # SGGen workflow resumes an sgcls checkpoint from an sgdet-mode
+        # program (reference README.md:239-243), and cross-device restores
+        # (detector pretrained on the chip, consumed by a CPU run)
+        restored, last, on_disk = ckpt.optimistic_restore_payload(
+            self.config.save_dir, self._payload(0))
         if last < 0:
             return
         self.state = self.state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"])
-        if self.gan_state is not None and "gan" in restored:
+        if self.gan_state is not None and "gan" in on_disk:
             g = restored["gan"]
             self.gan_state = self.gan_state.replace(
                 sgg=self.state, gan_params=g["params"], gan_stats=g["stats"],

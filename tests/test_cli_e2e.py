@@ -119,7 +119,7 @@ def test_vg_sgcls_feature_cache(data_dir, tmp_path):
 def test_vg_sgdet_pretrain_handoff(data_dir, tmp_path):
     """pretrain_detector.py vg -> main.py -m sgdet -ckpt handoff."""
     det_dir = str(tmp_path / "det")
-    _run(["pretrain_detector.py", "vg", data_dir, det_dir, "1", "2"])
+    _run(["pretrain_detector.py", "vg", data_dir, det_dir, "1", "2", "2"])
     run = str(tmp_path / "runsgdet")
     out = _run(["main.py", "-m", "sgdet", "-split", "stanford", "-data",
                 data_dir, "-val_size", "2", "-b", "2", "-nepoch", "1",
@@ -136,7 +136,7 @@ def test_gqa_chain(data_dir, tmp_path):
     """GQA workflow: detector fine-tune -> SGCls -> SGGen eval
     (reference README.md:227-243; resnet50 forced for non-stanford)."""
     det_dir = str(tmp_path / "gqadet")
-    _run(["pretrain_detector.py", "gqa", data_dir, det_dir, "1", "2"])
+    _run(["pretrain_detector.py", "gqa", data_dir, det_dir, "1", "2", "2"])
     run = str(tmp_path / "gqarun")
     _run(["main.py", "-m", "sgcls", "-split", "gqa", "-data", data_dir,
           "-val_size", "2", "-b", "4", "-nepoch", "1", "-p", "1",

@@ -24,12 +24,12 @@ run main.py -m sgcls -split stanford -data "$DATA" -val_size 2 -b 8 \
 run main.py -m sgcls -split stanford -data "$DATA" -val_size 2 -b 8 \
     -nepoch 1 -p 5 -save_dir "$OUT/sgcls_fc" -feature_cache "$OUT/fcache"
 # 4. detector pretrain (vg) -> sgdet handoff
-run pretrain_detector.py vg "$DATA" "$OUT/det_vg" 1 2
+run pretrain_detector.py vg "$DATA" "$OUT/det_vg" 1 2 2
 run main.py -m sgdet -split stanford -data "$DATA" -val_size 2 -b 4 \
     -nepoch 1 -p 5 -backbone resnet50 -ckpt "$OUT/det_vg" \
     -save_dir "$OUT/sgdet"
 # 5. GQA chain: detector fine-tune -> SGCls -> SGGen (README.md:227-243)
-run pretrain_detector.py gqa "$DATA" "$OUT/det_gqa" 1 2
+run pretrain_detector.py gqa "$DATA" "$OUT/det_gqa" 1 2 2
 run main.py -m sgcls -split gqa -data "$DATA" -val_size 2 -b 8 \
     -nepoch 1 -p 5 -backbone resnet50 -exclude_left_right \
     -save_dir "$OUT/gqa"

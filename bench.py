@@ -1,7 +1,12 @@
 """Benchmark: SGCls training throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line (< 1900 bytes — the driver captures a 2000-char tail,
+round-4's line outgrew it and the round artifact lost its headline fields):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+The slim line carries the essentials (per-metric img/s + mfu, vs_baseline,
+fallback rates, regression_alerts, compact bench_env); the FULL record
+(best_*, spread_pct, tflops, derivations) is written to BENCH_FULL.json
+beside this file.
 
 Measured workload: the full SGCls training step (VGG16 trunk on 592x592
 images, RoIAlign node+union features, rects conv, 4096-d RoI heads, 3-iter
@@ -141,6 +146,57 @@ def _fields(name: str, times, n_img_per_iter: int, iters: int = ITERS,
 def _pop_metric(fields, name):
     """Split the '{name}_images_per_sec' headline out of a fields dict."""
     return fields.pop(f"{name}_images_per_sec"), fields
+
+
+# stdout-line size contract: the driver captures a 2000-char tail of the
+# bench output; BENCH_r04 overflowed it and `parsed` came back null. The
+# slim line must stay comfortably below that with headroom for alerts.
+MAX_LINE_BYTES = 1900
+
+# key suffixes that belong to the FULL record only (written to
+# BENCH_FULL.json), in the order they are dropped if the slim line is
+# still too long after the suffix filter (defense in depth — should not
+# trigger in practice).
+_FULL_ONLY_SUFFIXES = ("_best_images_per_sec", "_spread_pct",
+                       "_tflops_per_sec")
+_DROP_ORDER_SUFFIXES = ("_mfu", "_vs_baseline", "_cached_images_per_sec")
+
+
+def _slim(line: dict) -> dict:
+    """The < MAX_LINE_BYTES stdout subset of the full bench record.
+
+    Keeps: headline metric/value/vs_baseline, per-metric img/s + mfu,
+    fallback rates, pipeline + link numbers, errors, regression_alerts,
+    and a compact bench_env. Drops per-metric best/spread/tflops detail
+    (those live in BENCH_FULL.json). Guarantees the byte budget by
+    progressively dropping lower-priority suffixes, then truncating
+    regression_alerts to a count.
+    """
+    slim = {k: v for k, v in line.items()
+            if not k.endswith(_FULL_ONLY_SUFFIXES)}
+    env = line.get("bench_env")
+    if isinstance(env, dict):
+        slim["bench_env"] = {k: env[k] for k in
+                             ("cpu_count", "device", "jax") if k in env}
+
+    def size(d):
+        return len(json.dumps(d))
+
+    for suffix in _DROP_ORDER_SUFFIXES:
+        if size(slim) <= MAX_LINE_BYTES:
+            break
+        protected = ("value", "vs_baseline")  # headline stays
+        slim = {k: v for k, v in slim.items()
+                if k in protected or not k.endswith(suffix)}
+    if size(slim) > MAX_LINE_BYTES and "regression_alerts" in slim:
+        slim["regression_alerts_n"] = len(slim.pop("regression_alerts"))
+    while size(slim) > MAX_LINE_BYTES and len(slim) > 4:
+        # last resort: drop the longest non-headline entry
+        k = max((k for k in slim
+                 if k not in ("metric", "value", "unit", "vs_baseline")),
+                key=lambda k: len(json.dumps({k: slim[k]})))
+        del slim[k]
+    return slim
 
 
 def main():
@@ -439,7 +495,18 @@ def main():
         errors["regression_check_error"] = repr(e)[:120]
 
     line.update(errors)
-    print(json.dumps(line))
+    # full record beside the script; stdout carries only the slim line
+    # (driver tail capture is 2000 chars — see MAX_LINE_BYTES)
+    try:
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_FULL.json")
+        with open(full_path, "w") as fh:
+            json.dump(line, fh, indent=1)
+    except Exception as e:
+        line["bench_full_write_error"] = repr(e)[:120]
+    out = json.dumps(_slim(line))
+    assert len(out) < 2000, f"bench line {len(out)} bytes overflows capture"
+    print(out)
 
 
 def _bench_gan_train(B: int = BATCH):

@@ -204,7 +204,8 @@ class BatchLoader:
                  prefetch: int = 2, seed: int = 0,
                  with_images: bool = True, im_scale: int = IM_SCALE,
                  buckets=None, image_format: str = "float32",
-                 feature_cache=None, shard=None):
+                 feature_cache=None, shard=None,
+                 cache_orientations: Optional[int] = None):
         """``buckets``: optional ascending list of (max_nodes, max_edges)
         shape buckets. Images are grouped into the smallest bucket whose
         node capacity fits them, so small graphs stop paying the global
@@ -251,6 +252,13 @@ class BatchLoader:
             assert self.feature_cache.complete(), (
                 f"feature cache {self.feature_cache.path} is incomplete "
                 f"— re-run extraction")
+        # Flip pinning is CONFIG-driven, not disk-driven: a run configured
+        # with cache_orientations=1 trains flip-free even when a
+        # 2-orientation cache happens to exist on disk (the trainer accepts
+        # such a cache as a storage superset) — otherwise augmentation
+        # behavior, and hence reproducibility, would depend on disk state.
+        # None (direct BatchLoader users) defers to the cache file itself.
+        self.cache_orientations = cache_orientations
         if shard is not None:
             pid, n_proc = shard
             assert 0 <= pid < n_proc, shard
@@ -291,11 +299,16 @@ class BatchLoader:
         orientation."""
         oh, ow = self.feature_cache.orig_hw(idx)
         ch, cw, s = content_size(oh, ow, self.im_scale)
-        # single-orientation cache (config.cache_orientations=1): the
-        # stored fmap is unflipped and can't be flipped post hoc — pin the
-        # draw (flip augmentation off for this run, by explicit opt-in)
-        force = False if (self.ds.is_train
-                          and self.feature_cache.n_orient == 1) else None
+        # single-orientation operation (config.cache_orientations=1, or a
+        # cache file that only stores the unflipped fmap): pin the draw —
+        # flip augmentation off for this run, by explicit opt-in. The
+        # config value wins over the file so a 2-orientation cache on disk
+        # can't silently re-enable flips for a 1-orientation run.
+        n_eff = min(self.feature_cache.n_orient,
+                    self.cache_orientations
+                    if self.cache_orientations is not None
+                    else self.feature_cache.n_orient)
+        force = False if (self.ds.is_train and n_eff == 1) else None
         boxes, rels, flipped = prepare_boxes(
             self.ds.gt_boxes[idx], self.ds.relationships[idx],
             self.ds.box_coordinates, self.ds.is_train, rng, ch, cw, s,
@@ -386,9 +399,12 @@ class BatchLoader:
                 if len(chunk) % n_proc:
                     # wrap-pad the tail batch to a process multiple (torch
                     # DistributedSampler semantics: a few images repeat
-                    # rather than the pod crashing / idling on the tail)
+                    # rather than the pod crashing / idling on the tail).
+                    # np.resize repeats cyclically, so this is correct even
+                    # when the pad exceeds the chunk (a 1-image tail on a
+                    # 4-process pod needs 3 repeats of that one image).
                     pad = n_proc - len(chunk) % n_proc
-                    chunk = np.concatenate([chunk, chunk[:pad]])
+                    chunk = np.resize(np.asarray(chunk), len(chunk) + pad)
                 per = len(chunk) // n_proc
                 sliced.append((bucket, chunk[pid * per:(pid + 1) * per]))
             chunks = sliced

@@ -60,19 +60,33 @@ def sync_processes(name: str, timeout_s: int = 600) -> None:
     """
     if jax.process_count() == 1:
         return
-    from jax._src import distributed as _dist
-    client = _dist.global_state.client
+    try:
+        # private API (no public coordination-service barrier exists as of
+        # jax 0.9); guarded so a jax upgrade that moves it fails with a
+        # clear message instead of an AttributeError deep in an epoch loop
+        from jax._src import distributed as _dist
+        client = _dist.global_state.client
+    except Exception as e:  # pragma: no cover - version drift guard
+        raise RuntimeError(
+            "sync_processes needs jax's coordination-service client "
+            "(jax._src.distributed.global_state.client), which jax "
+            f"{jax.__version__} no longer exposes at that path — update "
+            "this accessor. The barrier prevents gloo's 30s lazy-context "
+            "deadline from killing multi-host runs; do not remove it."
+        ) from e
     if client is None:  # initialized by an external launcher we can't see
         return
-    # barrier IDs are one-shot; the module-level counter keeps them unique
-    # while staying identical across processes (same call sequence)
-    global _barrier_seq
-    _barrier_seq += 1
-    client.wait_at_barrier(f"sgg_{name}_{_barrier_seq}",
+    # barrier IDs are one-shot; a PER-NAME counter keeps repeat calls
+    # unique while staying identical across processes. Keying on the name
+    # (not one global sequence) means a divergent call sequence in one
+    # subsystem (e.g. an exception swallowed on one process) can only
+    # desync barriers of that name, not every later barrier in the job.
+    _barrier_seq[name] = _barrier_seq.get(name, 0) + 1
+    client.wait_at_barrier(f"sgg_{name}_{_barrier_seq[name]}",
                            timeout_in_ms=timeout_s * 1000)
 
 
-_barrier_seq = 0
+_barrier_seq: dict = {}
 
 
 def process_local_indices(n: int, batch_size: int) -> np.ndarray:

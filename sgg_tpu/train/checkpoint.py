@@ -80,21 +80,28 @@ def optimistic_restore_payload(save_dir: str, template: Dict[str, Any],
     reference's GQA SGGen workflow, README.md:239-243) and cross-device
     restores (the on-disk tree is loaded device-agnostically).
 
-    Returns (merged_payload, epoch, on_disk_keys); epoch=-1 when nothing
-    exists.
+    Returns (merged_payload, epoch, on_disk_keys, stats); epoch=-1 when
+    nothing exists. ``stats`` reports coverage: ``stats["missing"]`` lists
+    template leaf paths NOT filled from disk (empty = the restore was
+    exact, i.e. equivalent to a strict StandardRestore) and
+    ``stats["unused"]`` lists on-disk leaves with no matching-shape home.
+    Callers resuming a run from its OWN save_dir should treat a non-empty
+    ``missing`` as suspicious — a partly random-init resume at a saved
+    epoch is usually a config drift, not an intended cross-mode resume.
     """
     mgr = _manager(save_dir)
     if epoch is None:
         epoch = mgr.latest_step()
         if epoch is None:
-            return template, -1, set()
+            return template, -1, set(), {"missing": [], "unused": []}
     on_disk = _restore_to_local_device(save_dir, epoch)
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(on_disk)[0]:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
         flat[name] = np.asarray(leaf)
-    merged = optimistic_update(template, flat, verbose=verbose)
-    return merged, int(epoch), set(on_disk.keys())
+    merged, stats = optimistic_update(template, flat, verbose=verbose,
+                                      return_stats=True)
+    return merged, int(epoch), set(on_disk.keys()), stats
 
 
 def _restore_to_local_device(save_dir: str, epoch: int):
@@ -167,13 +174,18 @@ def restore_checkpoint(save_dir: str, state: TrainState,
 # pytorch_misc.py:17-57)
 
 def optimistic_update(params, flat_updates: Dict[str, np.ndarray],
-                      verbose: bool = False):
+                      verbose: bool = False, return_stats: bool = False):
     """Copy matching-shape arrays from a {'a/b/c': array} dict into a Flax
-    param tree; silently skip missing keys and shape mismatches."""
+    param tree; skip missing keys and shape mismatches (printed when
+    ``verbose``). With ``return_stats`` also returns
+    ``{"missing": [template leaves not updated], "unused": [update keys
+    without a home]}`` so callers can distinguish an exact restore from a
+    partial one."""
     flat = jax.tree_util.tree_flatten_with_path(params)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     new_leaves = []
     used = set()
+    missing = []
     for (path, leaf) in flat[0]:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
         if name in flat_updates and flat_updates[name].shape == leaf.shape:
@@ -183,12 +195,15 @@ def optimistic_update(params, flat_updates: Dict[str, np.ndarray],
             if verbose and name in flat_updates:
                 print(f"shape mismatch for {name}: "
                       f"{flat_updates[name].shape} vs {leaf.shape}")
+            missing.append(name)
             new_leaves.append(leaf)
-    if verbose:
-        unused = set(flat_updates) - used
-        if unused:
-            print("unused checkpoint keys:", sorted(unused)[:20])
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    unused = sorted(set(flat_updates) - used)
+    if verbose and unused:
+        print("unused checkpoint keys:", unused[:20])
+    merged = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if return_stats:
+        return merged, {"missing": missing, "unused": unused}
+    return merged
 
 
 # torch name -> flax path mapping for the VGG16 trunk/heads. The reference's

@@ -231,14 +231,36 @@ class Trainer:
         # SGGen workflow resumes an sgcls checkpoint from an sgdet-mode
         # program (reference README.md:239-243), and cross-device restores
         # (detector pretrained on the chip, consumed by a CPU run)
-        restored, last, on_disk = ckpt.optimistic_restore_payload(
+        restored, last, on_disk, stats = ckpt.optimistic_restore_payload(
             self.config.save_dir, self._payload(0))
         if last < 0:
             return
+        # This is the run's OWN save_dir (auto-resume), so the on-disk tree
+        # normally matches the template exactly and the merge is equivalent
+        # to a strict StandardRestore. A partial match here usually means
+        # config drift (e.g. a changed hidden_dim) — resuming part
+        # random-init at a saved epoch would silently corrupt the run, so
+        # be loud about exactly which leaves kept their init values.
+        if stats["missing"] or stats["unused"]:
+            print(f"[resume] WARNING: checkpoint epoch {last} in "
+                  f"{self.config.save_dir} only partially matches this "
+                  f"run's state tree — {len(stats['missing'])} leaves kept "
+                  f"their fresh-init values "
+                  f"(first: {stats['missing'][:5]}), "
+                  f"{len(stats['unused'])} on-disk leaves had no home "
+                  f"(first: {stats['unused'][:5]}). Expected only for "
+                  f"deliberate cross-mode resumes.")
         self.state = self.state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"])
+        if self.mesh is not None:
+            # the merged leaves are host-local numpy; re-establish the
+            # replicated sharding that __init__ set up (required on
+            # process-spanning meshes, where host-local arrays cannot feed
+            # a pjit-sharded step)
+            from sgg_tpu.parallel import replicate
+            self.state = replicate(self.state, self.mesh)
         if self.gan_state is not None and "gan" in on_disk:
             g = restored["gan"]
             self.gan_state = self.gan_state.replace(
@@ -413,6 +435,7 @@ class Trainer:
                              image_format=cfg.image_format,
                              feature_cache=self._feature_cache_for(
                                  "train", self.train_data),
+                             cache_orientations=cfg.cache_orientations,
                              shard=shard)
         loader._epoch = epoch
         # align the pod before the first collective dispatch of the epoch:

@@ -455,3 +455,27 @@ def test_trainer_e2e_with_feature_cache(tmp_path):
     fp_now = params_fingerprint(jax.tree_util.tree_map(
         np.asarray, t2.state.params["trunk"]))
     assert fc.fingerprint == fp_now
+
+
+def test_config_orientations_pin_flips_over_disk_superset(tmp_path):
+    """cache_orientations=1 pins flips OFF even when a 2-orientation cache
+    exists on disk (the trainer accepts such a cache as a storage superset;
+    augmentation must follow the CONFIG, not disk state — ADVICE r4)."""
+    ds = _dataset(tmp_path, n=6, mode="train")
+    trunk_fn, _ = _trunk_fn()
+    cache2 = extract_trunk_cache(str(tmp_path / "sup.h5"), ds, trunk_fn,
+                                 batch_size=3, im_scale=IM,
+                                 image_format="uint8", progress=False)
+    assert cache2.n_orient == 2
+    common = dict(batch_size=3, max_nodes=8, max_edges=8, num_workers=1,
+                  shuffle=False, im_scale=IM, image_format="uint8")
+    for seed in (0, 7):  # several rng streams: pinned, not lucky
+        for b_i, cb in enumerate(BatchLoader(ds, feature_cache=cache2,
+                                             seed=seed, cache_orientations=1,
+                                             **common)):
+            for j in range(cb.fmaps.shape[0]):
+                idx = b_i * 3 + j
+                np.testing.assert_array_equal(
+                    np.asarray(cb.fmaps[j]).view(np.uint16),
+                    cache2.read(idx, False).view(np.uint16))
+    cache2.close()

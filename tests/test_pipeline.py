@@ -160,3 +160,28 @@ def test_im_scale_org_round_trip():
     np.testing.assert_allclose(gb.im_scale_org, [600.0 / 128.0], rtol=1e-6)
     back = np.asarray(gb.boxes)[0, :2] * float(gb.im_scale_org[0])
     np.testing.assert_allclose(back, boxes, atol=0.5)
+
+
+def test_shard_wrap_pad_exceeding_tail():
+    """Multi-host tail batches whose wrap pad EXCEEDS the chunk length
+    (e.g. a 1-image tail on a 4-process pod) wrap cyclically instead of
+    truncating to an uneven/empty slice (ADVICE r4 medium)."""
+    n_proc = 4
+    ds = _fake_dataset(9, mode="test")  # eval: keep the tail (chunk of 1)
+    per_proc_batches = []
+    for pid in range(n_proc):
+        loader = BatchLoader(ds, batch_size=4, max_nodes=8, max_edges=8,
+                             with_images=False, im_scale=32, num_workers=1,
+                             shard=(pid, n_proc))
+        batches = list(loader)
+        assert len(batches) == 3  # 4 + 4 + wrapped tail
+        for gb in batches:
+            assert gb.boxes.shape[0] == 1  # batch_size / n_proc
+        per_proc_batches.append(batches)
+    # the tail batch is the single image 9 wrapped to all processes
+    tails = [np.asarray(b[2].boxes) for b in per_proc_batches]
+    for t in tails[1:]:
+        np.testing.assert_array_equal(t, tails[0])
+    # non-tail batches shard DISTINCT images across processes
+    assert (np.asarray(per_proc_batches[0][0].boxes) !=
+            np.asarray(per_proc_batches[1][0].boxes)).any()

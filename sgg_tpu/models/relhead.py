@@ -38,6 +38,50 @@ def _take_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
+class GRUCell(nn.Module):
+    """GRU cell with torch's exact parameterization (``torch.nn.GRUCell``).
+
+    Two fused gate matmuls — ``x @ W_ih (in,3H) + b_ih`` and
+    ``h @ W_hh (H,3H) + b_hh`` — instead of flax ``nn.GRUCell``'s six
+    per-gate denses: fewer, larger MXU matmuls, and *parameter-exact*
+    parity with the reference's ``node_gru``/``edge_gru``
+    (rel_model_stanford.py:34-35). The redundant per-gate bias pair
+    (b_ih + b_hh both live for r/z) is kept deliberately: folding them
+    into one bias is forward-equivalent but changes training dynamics —
+    torch updates both copies (2x the effective gradient on the summed
+    bias) and its global clip norm counts that gradient twice. Verified
+    at the gradient level in tests/test_grad_reference_parity.py.
+
+    Gate order matches torch: [r; z; n] along the 3H axis;
+    ``h' = (1 - z) * n + z * h`` with ``n = tanh(i_n + r * h_n)``.
+    Init matches torch GRUCell: U(-1/sqrt(H), 1/sqrt(H)) for all
+    weights and biases.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, carry: jnp.ndarray, inputs: jnp.ndarray):
+        H = self.features
+        k = 1.0 / float(np.sqrt(H))
+        init = nn.initializers.uniform(scale=2 * k)
+        shift = lambda f: (lambda *a: f(*a) - k)  # U(0,2k) -> U(-k,k)
+        gi = nn.Dense(3 * H, dtype=self.dtype, name="ih",
+                      kernel_init=shift(init),
+                      bias_init=shift(init))(inputs)
+        gh = nn.Dense(3 * H, dtype=self.dtype, name="hh",
+                      kernel_init=shift(init),
+                      bias_init=shift(init))(carry)
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = nn.sigmoid(i_r + h_r)
+        z = nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        new_h = (1.0 - z) * n + z * carry
+        return new_h, new_h
+
+
 class IMPHead(nn.Module):
     """3-iteration GRU message passing over node/edge representations.
 
@@ -65,8 +109,8 @@ class IMPHead(nn.Module):
         obj_rep = nn.Dense(H, dtype=dt, name="obj_unary")(node_feat)
         rel_rep = nn.relu(nn.Dense(H, dtype=dt, name="edge_unary")(edge_feat))
 
-        node_gru = nn.GRUCell(H, dtype=dt, name="node_gru")
-        edge_gru = nn.GRUCell(H, dtype=dt, name="edge_gru")
+        node_gru = GRUCell(H, dtype=dt, name="node_gru")
+        edge_gru = GRUCell(H, dtype=dt, name="edge_gru")
         gate = lambda name: nn.Dense(1, dtype=dt, name=name)
 
         sub_vert_w = gate("sub_vert_w_fc")

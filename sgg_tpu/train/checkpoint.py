@@ -328,30 +328,21 @@ def import_torch_faster_rcnn(params, torch_state: Dict[str, "np.ndarray"],
 
 def _gru_updates(prefix_t: str, prefix_f: str,
                  ts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """torch.nn.GRUCell tensors -> flax GRUCell gate denses.
+    """torch.nn.GRUCell tensors -> our fused-gate GRUCell denses.
 
-    torch packs gates row-wise as [r; z; n] in weight_ih/weight_hh with both
-    input- and hidden-side biases; flax keeps per-gate denses where hr/hz
-    have no bias, so b_ih[r|z] + b_hh[r|z] folds into ir/iz biases, while n
-    keeps both (b_hn sits inside the r* term in both formulations)."""
-    w_ih = ts.get(f"{prefix_t}.weight_ih")
-    w_hh = ts.get(f"{prefix_t}.weight_hh")
-    b_ih = ts.get(f"{prefix_t}.bias_ih")
-    b_hh = ts.get(f"{prefix_t}.bias_hh")
-    if w_ih is None or w_hh is None:
-        return {}
-    h = w_ih.shape[0] // 3
+    Our ``models.relhead.GRUCell`` keeps torch's exact parameterization
+    (fused [r; z; n] gate matmuls, BOTH bias vectors), so the map is a
+    plain transpose — lossless in both directions, which is what makes
+    gradient- and optimizer-step-level parity possible (the earlier flax
+    ``nn.GRUCell`` target required folding b_ih + b_hh for r/z, which is
+    forward-equivalent but changes training dynamics)."""
     out = {}
-    for i, g in enumerate(("r", "z", "n")):  # flax denses: ir,iz,in/hr,hz,hn
-        sl = slice(i * h, (i + 1) * h)
-        out[f"{prefix_f}/i{g}/kernel"] = np.asarray(w_ih[sl]).T
-        out[f"{prefix_f}/h{g}/kernel"] = np.asarray(w_hh[sl]).T
-    if b_ih is not None and b_hh is not None:
-        h_r, h_z, h_n = (slice(0, h), slice(h, 2 * h), slice(2 * h, 3 * h))
-        out[f"{prefix_f}/ir/bias"] = np.asarray(b_ih[h_r] + b_hh[h_r])
-        out[f"{prefix_f}/iz/bias"] = np.asarray(b_ih[h_z] + b_hh[h_z])
-        out[f"{prefix_f}/in/bias"] = np.asarray(b_ih[h_n])
-        out[f"{prefix_f}/hn/bias"] = np.asarray(b_hh[h_n])
+    for t, f in (("weight_ih", "ih/kernel"), ("weight_hh", "hh/kernel"),
+                 ("bias_ih", "ih/bias"), ("bias_hh", "hh/bias")):
+        v = ts.get(f"{prefix_t}.{t}")
+        if v is not None:
+            out[f"{prefix_f}/{f}"] = (np.asarray(v).T if t.startswith("weight")
+                                      else np.asarray(v))
     return out
 
 

@@ -20,7 +20,7 @@ from flax import linen as nn_flax  # noqa: E402
 
 from sgg_tpu.models.backbone import RoiHead  # noqa: E402
 from sgg_tpu.models.frequency_bias import FrequencyBias  # noqa: E402
-from sgg_tpu.models.relhead import IMPHead  # noqa: E402
+from sgg_tpu.models.relhead import GRUCell, IMPHead  # noqa: E402
 from sgg_tpu.models.union_features import UnionBoxFeats  # noqa: E402
 from sgg_tpu.train.checkpoint import (_gru_updates, optimistic_update,
                                       relmodel_flat_updates)  # noqa: E402
@@ -90,19 +90,30 @@ def _scene(rng, n, e):
 
 
 def test_grucell_weight_mapping():
-    """torch.nn.GRUCell == flax GRUCell under _gru_updates mapping."""
+    """torch.nn.GRUCell == our fused-gate GRUCell under _gru_updates.
+
+    The mapping is a plain transpose (our cell keeps torch's exact
+    parameterization incl. both bias vectors), so every torch tensor must
+    land — asserted via full key coverage, which guards the grad-level
+    parity suite's assumption that the map is lossless."""
     torch = load_reference()
     torch.manual_seed(1)
     h = 16
     cell_t = torch.nn.GRUCell(h, h)
     ts = {f"g.{k}": v.detach().numpy() for k, v in
           cell_t.state_dict().items()}
-    cell_f = nn_flax.GRUCell(h)
+    cell_f = GRUCell(h, dtype=jnp.float32)
     x = np.random.RandomState(0).randn(5, h).astype(np.float32)
     hx = np.random.RandomState(1).randn(5, h).astype(np.float32)
     variables = cell_f.init(jax.random.key(0), jnp.asarray(hx),
                             jnp.asarray(x))
-    variables = optimistic_update(variables, _gru_updates("g", "params", ts))
+    upd = _gru_updates("g", "params", ts)
+    assert len(upd) == 4  # ih/hh kernels + BOTH biases, nothing folded
+    flat_names = {
+        "/".join(str(getattr(k, "key", k)) for k in p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    assert set(upd) == flat_names
+    variables = optimistic_update(variables, upd)
     got, _ = cell_f.apply(variables, jnp.asarray(hx), jnp.asarray(x))
     want = cell_t(torch.from_numpy(x), torch.from_numpy(hx)).detach().numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-6, rtol=1e-5)

@@ -111,7 +111,8 @@ def make_sgdet_retry_eval_step(detector, relmodel,
                                thresholds=(0.2, 0.05, 0.01),
                                require_overlap: bool = True,
                                max_pairs: Optional[int] = None,
-                               dedup: bool = True):
+                               dedup: bool = True,
+                               pair_ladder=(256,)):
     """ONE-pass sgdet eval with per-image post-hoc threshold selection.
 
     The reference re-detects each image at progressively lower box-score
@@ -137,9 +138,28 @@ def make_sgdet_retry_eval_step(detector, relmodel,
 
     Outputs additionally carry ``sel_thresh`` (per-image chosen threshold)
     and ``pair_count`` (pre-compaction valid-pair count).
+
+    ``pair_ladder``: intermediate pair budgets below ``max_pairs``. The
+    relation head is the largest slice of the sgdet eval step (29.7 of
+    58.7 ms at the fixed 1024 budget, tools/profile_sgdet.py) while a
+    typical image yields far fewer overlap-filtered candidate pairs — so
+    the step compiles one rel-head branch per rung and selects the
+    smallest rung covering the batch's max valid-pair count with an
+    in-program ``lax.switch`` (TPU conditionals execute only the taken
+    branch; no host round-trip, which matters on the tunneled chip where
+    a readback between two programs costs a full RTT per batch). Exact
+    by the same argument as the predcls/sgcls eval ladder
+    (eval/driver.py): compaction at a covering rung is order-preserving
+    and lossless; a batch no rung covers escalates to the dense re-run
+    via ``pair_count`` exactly as before. Branch outputs are padded to
+    the top rung's shape with masked (all-False) slots.
     """
     ts = sorted(thresholds, reverse=True)
     t_min = ts[-1]
+    rungs = ()
+    if max_pairs is not None:
+        rungs = tuple(sorted({r for r in (pair_ladder or ())
+                              if r < max_pairs})) + (max_pairs,)
 
     def eval_step(variables, batch: GraphBatch):
         det_vars, rel_vars = variables
@@ -166,12 +186,43 @@ def make_sgdet_retry_eval_step(detector, relmodel,
 
         pairs, pair_mask = detection_pairs(boxes, mask, require_overlap)
         pair_count = pair_mask.sum(axis=1)
-        if max_pairs is not None and max_pairs < pairs.shape[1]:
-            pairs, pair_mask, _ = compact_pairs(pairs, pair_mask, max_pairs)
 
-        out = relmodel.apply(rel_vars, None, boxes, labels, pairs,
-                             pair_mask, fmap=det["fmap"], train=False,
-                             mode="sgdet", dedup_unions=dedup)
+        def rel_fwd(cp, cm):
+            o = relmodel.apply(rel_vars, None, boxes, labels, cp, cm,
+                               fmap=det["fmap"], train=False,
+                               mode="sgdet", dedup_unions=dedup)
+            # fixed key order so every ladder branch returns an identical
+            # pytree structure for lax.switch
+            return o, cp, cm
+
+        if max_pairs is not None and max_pairs < pairs.shape[1]:
+            top = rungs[-1]
+
+            def branch(r):
+                def _b(_):
+                    cp, cm, _cnt = compact_pairs(pairs, pair_mask, r)
+                    o, cp, cm = rel_fwd(cp, cm)
+                    pad = top - r
+                    if pad:
+                        def padE(x):  # pad the edge axis with masked slots
+                            widths = [(0, 0), (0, pad)] + [(0, 0)] * (
+                                x.ndim - 2)
+                            return jnp.pad(x, widths)
+                        for k in ("rel_logits",):
+                            o[k] = padE(o[k])
+                        cp, cm = padE(cp), padE(cm)
+                    return o, cp, cm
+                return _b
+
+            if len(rungs) > 1:
+                need = pair_count.max()
+                idx = sum((need > r).astype(jnp.int32) for r in rungs[:-1])
+                out, pairs, pair_mask = jax.lax.switch(
+                    idx, [branch(r) for r in rungs], None)
+            else:
+                out, pairs, pair_mask = branch(top)(None)
+        else:
+            out, pairs, pair_mask = rel_fwd(pairs, pair_mask)
         out.update({
             "det_boxes": boxes, "det_labels": labels,
             "det_scores": scores, "det_mask": mask,

@@ -319,3 +319,57 @@ def test_escalation_rechecks_convergence_after_cap_growth(monkeypatch):
     assert d.get("sgdet_nms_cand_overflow", 0) == 1
     assert d.get("sgdet_nms_unconverged", 0) == 1
     assert bool(np.all(out["nms_converged"]))
+
+
+def test_sgdet_pair_ladder_switch_exact():
+    """The in-program rung ladder (lax.switch over compacted pair budgets,
+    models/sgdet.py make_sgdet_retry_eval_step) picks the smallest covering
+    rung per batch and matches the dense enumeration on every valid pair;
+    outputs are padded to the TOP rung's shape with all-False mask slots."""
+    config, detector, relmodel, det_vars, rel_vars, gb = _sgdet_setup()
+    dense_step = make_sgdet_retry_eval_step(detector, relmodel,
+                                            thresholds=(0.2, 0.0),
+                                            max_pairs=None)
+    dense = {k: np.asarray(v) for k, v in
+             dense_step((det_vars, rel_vars), gb).items()}
+    need = int(dense["pair_count"].max())
+    P = dense["pairs"].shape[1]
+    assert need >= 2
+    # small rung covers the batch -> switch must take it; top rung sets
+    # the output shape (and must stay below the dense P for the ladder
+    # path to engage at all)
+    small, top = need, min(P - 1, 2 * need)
+    assert top > small, (need, P)
+    ladder_step = make_sgdet_retry_eval_step(detector, relmodel,
+                                             thresholds=(0.2, 0.0),
+                                             max_pairs=top,
+                                             pair_ladder=(small,))
+    out = {k: np.asarray(v) for k, v in
+           ladder_step((det_vars, rel_vars), gb).items()}
+    assert out["pairs"].shape[1] == top
+    assert not out["pair_mask"][:, small:].any()  # padded slots masked off
+    for i in range(gb.batch_size):
+        dv, cv = dense["pair_mask"][i], out["pair_mask"][i]
+        np.testing.assert_array_equal(out["pairs"][i][cv],
+                                      dense["pairs"][i][dv])
+        np.testing.assert_allclose(out["rel_dists"][i][cv],
+                                   dense["rel_dists"][i][dv],
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(out["obj_scores"][i],
+                                   dense["obj_scores"][i],
+                                   atol=1e-5, rtol=1e-4)
+
+    # a rung BELOW the batch's need must be skipped for the next rung up
+    ladder_step2 = make_sgdet_retry_eval_step(detector, relmodel,
+                                              thresholds=(0.2, 0.0),
+                                              max_pairs=top,
+                                              pair_ladder=(need - 1,))
+    out2 = {k: np.asarray(v) for k, v in
+            ladder_step2((det_vars, rel_vars), gb).items()}
+    for i in range(gb.batch_size):
+        dv, cv = dense["pair_mask"][i], out2["pair_mask"][i]
+        np.testing.assert_array_equal(out2["pairs"][i][cv],
+                                      dense["pairs"][i][dv])
+        np.testing.assert_allclose(out2["rel_dists"][i][cv],
+                                   dense["rel_dists"][i][dv],
+                                   atol=1e-5, rtol=1e-4)

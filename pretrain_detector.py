@@ -169,6 +169,10 @@ def main():
     batch_size = int(sys.argv[5]) if len(sys.argv) > 5 else (
         3 if dataset == "vg" else 2)
     num_val_im = int(sys.argv[6]) if len(sys.argv) > 6 else 5000
+    # optional LR override (reference default 0.005, pretrain_detector.py
+    # engine setup): fixture-scale overfits (tests/test_cli_e2e.py sgdet
+    # leg) need a higher rate to converge within a test-budget step count
+    lr = float(sys.argv[7]) if len(sys.argv) > 7 else 0.005
     # only the train split is consumed — skip the five eval-split parses
     # (zero/k-shot filtering over the full scene-graph dicts) the full
     # splits() builder would pay for nothing
@@ -187,7 +191,7 @@ def main():
                               num_val_im=num_val_im,
                               filter_non_overlap=False)
     pretrain({"train": train}, save_dir=results_dir,
-             num_epochs=num_epochs, batch_size=batch_size)
+             num_epochs=num_epochs, batch_size=batch_size, lr=lr)
 
 
 if __name__ == "__main__":

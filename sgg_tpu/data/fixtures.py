@@ -44,12 +44,48 @@ __all__ = ["write_vg_fixture", "write_gqa_fixture", "write_vte_fixture",
 # shared helpers
 
 
-def _write_jpeg(path: str, rng: np.random.RandomState, w: int, h: int):
-    """A real JPEG with smooth random content (fast to encode/decode)."""
-    from PIL import Image
+def _class_color(cls: int) -> Tuple[int, int, int]:
+    """Deterministic, well-separated RGB per class (golden-ratio hues)."""
+    import colorsys
+    hue = (cls * 0.61803398875) % 1.0
+    val = 0.95 if cls % 2 else 0.65
+    r, g, b = colorsys.hsv_to_rgb(hue, 0.9, val)
+    return int(255 * r), int(255 * g), int(255 * b)
+
+
+def _write_jpeg(path: str, rng: np.random.RandomState, w: int, h: int,
+                boxes_px=None, classes=None):
+    """A real JPEG with smooth random background content — and, when GT
+    ``boxes_px``/``classes`` are given, a class-coded shape rendered at
+    each box (color deterministic in the class id; ellipse for odd
+    classes, rectangle for even; black border).
+
+    The rendering makes DETECTION learnable on fixtures: with pure noise
+    images the pixel content carries zero information about the
+    annotations, so a pretrained detector can never localize objects in
+    unseen test images and the sgdet R@K chain is structurally pinned at
+    its 0.0 fixed point end-to-end (round-4 finding). Larger boxes draw
+    first so smaller overlapping objects stay visible on top.
+    """
+    from PIL import Image, ImageDraw
     small = rng.randint(0, 255, (12, 12, 3), dtype=np.uint8)
-    Image.fromarray(small).resize((w, h), Image.BILINEAR).save(
-        path, format="JPEG", quality=80)
+    img = Image.fromarray(small).resize((w, h), Image.BILINEAR)
+    if boxes_px is not None and len(boxes_px):
+        draw = ImageDraw.Draw(img)
+        order = sorted(range(len(boxes_px)),
+                       key=lambda i: -((boxes_px[i][2] - boxes_px[i][0])
+                                       * (boxes_px[i][3] - boxes_px[i][1])))
+        for i in order:
+            x1, y1, x2, y2 = [float(v) for v in boxes_px[i]]
+            cls = int(classes[i])
+            color = _class_color(cls)
+            if cls % 2:
+                draw.ellipse([x1, y1, x2, y2], fill=color,
+                             outline=(0, 0, 0), width=2)
+            else:
+                draw.rectangle([x1, y1, x2, y2], fill=color,
+                               outline=(0, 0, 0), width=2)
+    img.save(path, format="JPEG", quality=80)
 
 
 def _image_sizes(rng: np.random.RandomState, n: int,
@@ -182,7 +218,6 @@ def write_vg_fixture(data_dir: str, n_train: int = 90, n_test: int = 30,
     image_data = []
     for i in range(n):
         w, h = sizes[i]
-        _write_jpeg(os.path.join(images_dir, f"{i + 1}.jpg"), rng, w, h)
         image_data.append({"image_id": i + 1, "width": w, "height": h,
                            "url": f"https://fixture/{i + 1}.jpg",
                            "coco_id": None, "flickr_id": None})
@@ -190,6 +225,11 @@ def write_vg_fixture(data_dir: str, n_train: int = 90, n_test: int = 30,
         g = _GraphBuilder(rng, w * scale, h * scale)
         for t in plans[i]:
             g.add_triplet(t)
+        # render the GT objects into the JPEG (class-coded shapes) so
+        # detection is learnable — boxes back in the w x h pixel frame
+        _write_jpeg(os.path.join(images_dir, f"{i + 1}.jpg"), rng, w, h,
+                    boxes_px=[[v / scale for v in b] for b in g.boxes],
+                    classes=g.classes)
         fb = len(labels)
         for cls, (x1, y1, x2, y2) in zip(g.classes, g.boxes):
             # center-format ints; keep cx - w/2 >= 0 after truncation
@@ -301,8 +341,13 @@ def write_gqa_fixture(data_dir: str, n_train: int = 40, n_val: int = 15,
     for i in range(n_train + n_val):
         imid = str(300000 + i)
         w, h = sizes[i]
-        _write_jpeg(os.path.join(images_dir, f"{imid}.jpg"), rng, w, h)
         sg = build_sg(i)
+        objs = list(sg["objects"].values())
+        _write_jpeg(os.path.join(images_dir, f"{imid}.jpg"), rng, w, h,
+                    boxes_px=[[o["x"], o["y"], o["x"] + o["w"],
+                               o["y"] + o["h"]] for o in objs],
+                    classes=[class_names.index(o["name"]) + 1
+                             for o in objs])
         if i < n_train:
             train_sgs[imid] = sg
             train_qs[f"q{i}"] = {"imageId": imid,
@@ -359,10 +404,11 @@ def write_vte_fixture(data_dir: str, n_train: int = 30, n_test: int = 12,
         for i in range(n_train + n_test):
             imid = str(600000 + i)
             w, h = sizes[i]
-            _write_jpeg(os.path.join(images_dir, f"{imid}.jpg"), rng, w, h)
             g = _GraphBuilder(rng, float(w), float(h))
             for t in plans[i]:
                 g.add_triplet(t)
+            _write_jpeg(os.path.join(images_dir, f"{imid}.jpg"), rng, w, h,
+                        boxes_px=g.boxes, classes=g.classes)
             if len(g.rels) == 0 or len(g.classes) < 2:
                 continue
             boxes = np.asarray(g.boxes, np.float32)

@@ -60,18 +60,31 @@ class SceneGraphPerturb:
 
     # ------------------------------------------------------------------
     def perturb_batch(self, classes: np.ndarray, rels: np.ndarray,
-                      node_mask: np.ndarray,
-                      rel_mask: np.ndarray) -> np.ndarray:
+                      node_mask: np.ndarray, rel_mask: np.ndarray,
+                      seeds=None) -> np.ndarray:
         """Perturb a padded batch. classes (B,N); rels (B,E,3) with
-        predicate>0 = FG. Returns new (B,N) classes."""
+        predicate>0 = FG. Returns new (B,N) classes.
+
+        ``seeds``: optional per-image ints; when given, image ``b`` draws
+        from its own ``RandomState(seeds[b])`` instead of the shared
+        sequential stream — making the perturbation of an image
+        independent of batch composition and process sharding (the
+        multi-host GAN path derives these from image content, see
+        Trainer._gan_host_inputs)."""
         out = classes.copy()
-        for b in range(classes.shape[0]):
-            n = int(node_mask[b].sum())
-            if n == 0 or self.L <= 0:
-                continue
-            valid_rels = rels[b][rel_mask[b]]
-            fg = valid_rels[valid_rels[:, 2] > 0]
-            out[b, :n] = self._perturb_image(out[b, :n].copy(), fg)
+        shared_rng = self.rng
+        try:
+            for b in range(classes.shape[0]):
+                n = int(node_mask[b].sum())
+                if n == 0 or self.L <= 0:
+                    continue
+                if seeds is not None:
+                    self.rng = np.random.RandomState(seeds[b])
+                valid_rels = rels[b][rel_mask[b]]
+                fg = valid_rels[valid_rels[:, 2] > 0]
+                out[b, :n] = self._perturb_image(out[b, :n].copy(), fg)
+        finally:
+            self.rng = shared_rng
         return out
 
     def _perturb_image(self, classes: np.ndarray,

@@ -94,13 +94,6 @@ class Trainer:
         if self.mesh is not None:
             from sgg_tpu.parallel.mesh import is_multiprocess
             self.multihost = is_multiprocess(self.mesh)
-        if self.multihost and config.gan:
-            # the GAN/perturb path pulls batch.classes back to the host,
-            # which a process-spanning array does not allow
-            raise NotImplementedError(
-                "GAN training is single-process for now — run -gan without "
-                "multi-host, or shard at the data level externally")
-
         if config.mode != "sgdet" and config.max_edges < config.rels_per_img:
             # the padded edge bucket bounds the per-image relation budget
             # shape-wise; only images with more candidate pairs than the
@@ -188,6 +181,8 @@ class Trainer:
             batch.rels, batch.node_mask, batch.rel_mask,
             vis_features=vis, train=False, method=self.gan.init_all)
         self.gan_state = create_gan_state(cfg, self.state, gan_vars)
+        if self.mesh is not None:
+            self._replicate_gan_state()
         self.gan_step = make_gan_train_step(self.model, self.gan, cfg)
 
         if cfg.perturb:
@@ -201,6 +196,21 @@ class Trainer:
                 L=cfg.L, topk=cfg.topk, alpha=cfg.graphn_a,
                 uniform=cfg.uniform,
                 degree_smoothing=cfg.degree_smoothing, seed=cfg.seed)
+
+    # ------------------------------------------------------------------
+    def _replicate_gan_state(self) -> None:
+        """Mesh-replicate the GAN leaves (the embedded ``sgg`` TrainState is
+        already replicated by __init__/_restore and must NOT pass through
+        ``replicate`` again — its process-spanning arrays are not
+        addressable as host numpy)."""
+        from sgg_tpu.parallel import replicate
+        s = self.gan_state
+        self.gan_state = s.replace(
+            sgg=self.state,
+            gan_params=replicate(s.gan_params, self.mesh),
+            gan_stats=replicate(s.gan_stats, self.mesh),
+            g_opt_state=replicate(s.g_opt_state, self.mesh),
+            d_opt_state=replicate(s.d_opt_state, self.mesh))
 
     # ------------------------------------------------------------------
     def _payload(self, epoch: int):
@@ -266,6 +276,8 @@ class Trainer:
             self.gan_state = self.gan_state.replace(
                 sgg=self.state, gan_params=g["params"], gan_stats=g["stats"],
                 g_opt_state=g["g_opt"], d_opt_state=g["d_opt"])
+            if self.mesh is not None:
+                self._replicate_gan_state()
         self.start_epoch = last + 1
         self.global_iter = int(self.state.step)
         print(f"resumed from epoch {last}")
@@ -446,6 +458,14 @@ class Trainer:
         from sgg_tpu.data.pipeline import device_prefetch, to_image_dtype
         sharding = None
         source = (to_image_dtype(b, cfg.compute_dtype) for b in loader)
+        gan_mode = self.gan_state is not None
+        if gan_mode:
+            # perturb + feature-bank sampling happen on the process-LOCAL
+            # batch, BEFORE global assembly: a process-spanning array
+            # cannot be pulled back to the host, and this ordering is what
+            # makes -gan work multi-host (the reference is single-GPU;
+            # multi-host GAN is beyond-reference capability)
+            source = (self._gan_host_inputs(b, epoch) for b in source)
         if self.multihost:
             from sgg_tpu.parallel import distributed as dist
             source = (dist.global_batch(b, self.mesh, cfg.dp_axis)
@@ -458,23 +478,15 @@ class Trainer:
         epoch_means = defaultdict(list)
         t0 = time.time()
         key = jax.random.key(cfg.seed * 100003 + epoch)
-        for b_i, batch in enumerate(batches):
+        for b_i, item in enumerate(batches):
             key, sub = jax.random.split(key)
-            if self.gan_state is not None:
-                fake = batch.classes
-                if self.perturber is not None:
-                    fake = jnp.asarray(self.perturber.perturb_batch(
-                        np.asarray(batch.classes), np.asarray(batch.rels),
-                        np.asarray(batch.node_mask),
-                        np.asarray(batch.rel_mask)))
-                vis = None
-                if self.feature_bank is not None:
-                    vis = jnp.asarray(self.feature_bank.sample(
-                        np.asarray(fake), np.asarray(batch.node_mask)))
+            if gan_mode:
+                batch, fake, vis = item
                 self.gan_state, metrics = self.gan_step(
                     self.gan_state, batch, fake, vis, sub)
                 self.state = self.gan_state.sgg
             else:
+                batch = item
                 self.state, metrics = self.train_step(self.state, batch, sub)
             self.global_iter += 1
             for k, v in metrics.items():
@@ -505,6 +517,37 @@ class Trainer:
             for k, v in accum.items():
                 epoch_means[k].append(float(np.mean([float(x) for x in v])))
         return {k: float(np.mean(v)) for k, v in epoch_means.items()}
+
+    # ------------------------------------------------------------------
+    def _gan_host_inputs(self, batch, epoch: int):
+        """(batch, fake_classes, vis_features) for the GAN step, computed
+        host-side on the process-LOCAL batch.
+
+        Perturbation draws come from a per-image rng seeded by the image
+        CONTENT (classes + boxes bytes) mixed with the epoch and run seed
+        — so which process holds an image, the sharding layout, and the
+        prefetch depth all leave the perturbation unchanged. A 2-process
+        run therefore perturbs exactly like the single-process run
+        (asserted in tests/test_distributed.py), while the same image
+        still redraws across epochs like the reference's global-rng
+        ``sgp.perturb`` (main.py:130-133).
+        """
+        fake = np.asarray(batch.classes)
+        vis = None
+        if self.perturber is not None:
+            import zlib
+            boxes = np.asarray(batch.boxes)
+            seeds = [
+                (zlib.crc32(fake[i].tobytes() + boxes[i].tobytes())
+                 ^ (epoch * 0x9E3779B1)
+                 ^ (self.config.seed * 0x85EBCA6B)) & 0xFFFFFFFF
+                for i in range(fake.shape[0])]
+            fake = self.perturber.perturb_batch(
+                fake, np.asarray(batch.rels), np.asarray(batch.node_mask),
+                np.asarray(batch.rel_mask), seeds=seeds)
+        if self.feature_bank is not None:
+            vis = self.feature_bank.sample(fake, np.asarray(batch.node_mask))
+        return batch, fake, vis
 
     # ------------------------------------------------------------------
     def _sync(self, tag: str) -> None:

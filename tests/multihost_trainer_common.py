@@ -56,6 +56,30 @@ def build_trainer(workdir: str) -> Trainer:
     return Trainer(config, splits, model=model, with_images=False)
 
 
+def build_gan_trainer(workdir: str) -> Trainer:
+    """-gan -perturb graphn trainer over the same synthetic splits; the
+    2-process run must reproduce the single-process F/G/D losses (the
+    perturbation is content-seeded per image, Trainer._gan_host_inputs)."""
+    from sgg_tpu.models.gan import GANModel
+    mk = lambda seed, n, mode: _to_sggdataset(
+        SyntheticSGGDataset(num_images=n, num_classes=9, num_predicates=5,
+                            max_objects=5, image_size=80, seed=seed), mode)
+    splits = {"train": mk(0, 16, "train"), "val_alls": mk(1, 4, "val"),
+              "test_alls": mk(2, 4, "test")}
+    config = Config(batch_size=8, max_nodes=8, max_edges=12, mode="sgcls",
+                    loss="dnorm", num_epochs=1, print_interval=1,
+                    val_size=0, notest=True, compute_dtype="float32",
+                    gan=True, ganlosses=("D", "G", "rec"),
+                    perturb="graphn", L=0.5,
+                    save_dir=os.path.join(workdir, "gan_ckpt"))
+    model = RelModelIMP(num_classes=9, num_predicates=5, mode="sgcls",
+                        hidden_dim=16, obj_dim=32, dtype=jnp.float32)
+    gan = GANModel(num_classes=9, num_predicates=5, hidden_dim=8, n_ch=512,
+                   fmap_sz=300 // 16, n_layers_G=2)
+    return Trainer(config, splits, model=model, gan_model=gan,
+                   with_images=False)
+
+
 def run_fit(trainer: Trainer):
     """fit() with val every epoch; returns (last interval loss, results)."""
     logged = []

@@ -25,7 +25,23 @@ def main():
                     num_processes=n_proc, process_id=proc_id)
     assert jax.process_count() == n_proc, jax.process_count()
 
-    from multihost_trainer_common import build_trainer, run_fit
+    from multihost_trainer_common import (build_gan_trainer, build_trainer,
+                                          run_fit)
+
+    if len(sys.argv) > 5 and sys.argv[5] == "gan":
+        # multi-host GAN leg (VERDICT r4 missing #3): one full -gan
+        # -perturb epoch over the process-spanning mesh; the parent
+        # compares the F/G/D losses across processes and against the
+        # single-process run
+        trainer = build_gan_trainer(workdir)
+        assert trainer.multihost == (n_proc > 1)
+        assert trainer.gan_state is not None
+        assert trainer.perturber is not None
+        losses = trainer.train_epoch(0)
+        for k in ("obj_loss", "rel_loss", "G_obj", "D_obj",
+                  "rel_loss_rec"):
+            print(f"MHGAN_{k} {losses[k]:.10f}", flush=True)
+        return
 
     trainer = build_trainer(workdir)
     # n_proc=2: 4 virtual devices/process; n_proc=1: the 8-device

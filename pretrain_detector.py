@@ -35,9 +35,13 @@ def make_detector_train_step(detector):
             # dropout; train-mode BN here would also require threading
             # batch_stats mutations. The training randomness lives in the
             # RPN/RoI target SAMPLERS below (k_rpn/k_roi), not the forward.
+            # gt_boxes/gt_mask: torchvision add_gt_proposals parity — the
+            # GT boxes join the RoI-head proposal set so the classifier
+            # always sees positives (detector.append_gt_proposals)
             out = detector.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch.images, batch.im_hw, train=False)
+                batch.images, batch.im_hw, train=False,
+                gt_boxes=batch.boxes, gt_mask=batch.node_mask)
             losses: Dict[str, jnp.ndarray] = {}
             losses.update(rpn_losses(k_rpn, out["anchors"],
                                      out["rpn_obj_logits"],

@@ -211,7 +211,8 @@ class FasterRCNNVGG(nn.Module):
 
     @nn.compact
     def __call__(self, images, im_hw, *, fmap=None, train: bool = False,
-                 score_thresh: Optional[float] = None):
+                 score_thresh: Optional[float] = None,
+                 gt_boxes=None, gt_mask=None):
         if fmap is None:
             fmap = self.features(images)
         B, fh, fw, _ = fmap.shape
@@ -226,6 +227,10 @@ class FasterRCNNVGG(nn.Module):
             post_nms_top_n=self.rpn_post_nms_top_n,
             nms_thresh=self.rpn_nms_thresh,
             nms_method=self.nms_method, nms_rounds=self.nms_rounds)
+        if gt_boxes is not None:
+            # detector-training path only (torchvision add_gt_proposals)
+            proposals, prop_mask = append_gt_proposals(
+                proposals, prop_mask, gt_boxes, gt_mask)
 
         pooled = roi_align(fmap, proposals,
                            spatial_scale=1.0 / self.stride,
@@ -295,7 +300,8 @@ class FasterRCNNFPN(nn.Module):
 
     @nn.compact
     def __call__(self, images, im_hw, *, pyramid=None, train: bool = False,
-                 score_thresh: Optional[float] = None):
+                 score_thresh: Optional[float] = None,
+                 gt_boxes=None, gt_mask=None):
         from sgg_tpu.models.resnet import (ResNet50FPN,
                                            multiscale_roi_align)
         if pyramid is None:
@@ -352,6 +358,10 @@ class FasterRCNNFPN(nn.Module):
 
         proposals, prop_mask, rpn_conv = jax.vmap(one)(cat_boxes, cat_scores,
                                                        cat_lvl, im_hw)
+        if gt_boxes is not None:
+            # detector-training path only (torchvision add_gt_proposals)
+            proposals, prop_mask = append_gt_proposals(
+                proposals, prop_mask, gt_boxes, gt_mask)
 
         pooled = multiscale_roi_align(
             [pyramid[l] for l in self.LEVELS[:4]], proposals,
@@ -458,13 +468,40 @@ def rpn_losses(key, anchors, obj_logits, rpn_deltas, gt_boxes, gt_mask,
             "loss_objectness": obj_l.mean()}
 
 
+def append_gt_proposals(proposals, prop_mask, gt_boxes, gt_mask):
+    """Torchvision ``RoIHeads.add_gt_proposals`` in fixed shapes: the GT
+    boxes join the RoI-head training proposals (torchvision
+    roi_heads.py ``select_training_samples`` does this unconditionally —
+    the reference fine-tunes ``maskrcnn_resnet50_fpn`` through it,
+    ``/root/reference/pretrain_detector.py:82`` / ``detector/engine.py:31``).
+
+    Without it the RoI classifier sees positives only when a raw RPN
+    proposal already clears IoU 0.5, which near-never happens early in
+    training — the classifier then collapses to predicting background
+    (observed empirically: uniform ~1/C foreground scores after detector
+    pretraining on fixtures). With fixed (B, P, 4) proposals, "append"
+    becomes overwriting the TRAILING (lowest-score) slots: slot P-N+j
+    takes gt_boxes[:, j] where gt_mask[:, j], keeping the original
+    proposal (and its mask) in padded GT slots.
+    """
+    N = gt_boxes.shape[1]
+    tail_b = jnp.where(gt_mask[..., None], gt_boxes,
+                       proposals[:, -N:].astype(gt_boxes.dtype))
+    tail_m = prop_mask[:, -N:] | gt_mask
+    proposals = jnp.concatenate(
+        [proposals[:, :-N], tail_b.astype(proposals.dtype)], axis=1)
+    prop_mask = jnp.concatenate([prop_mask[:, :-N], tail_m], axis=1)
+    return proposals, prop_mask
+
+
 def roi_head_losses(key, proposals, prop_mask, class_logits, box_deltas,
                     gt_boxes, gt_classes, gt_mask,
                     batch_per_image: int = 512, pos_fraction: float = 0.25):
     """RoI-head CE + class-specific box smooth-L1 (torchvision
     fastrcnn_loss). Note: proposals here are post-RPN (fixed P); torchvision
-    also appends GT boxes to proposals during training — do that in the
-    caller by overwriting trailing proposal slots."""
+    also appends GT boxes to proposals during training — pass
+    ``gt_boxes``/``gt_mask`` to the detector forward (``append_gt_proposals``)
+    so the logits cover the GT slots."""
     import optax
     C = class_logits.shape[-1]
 

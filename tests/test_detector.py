@@ -239,6 +239,65 @@ def test_detector_forward_and_losses():
     assert float(hl["loss_classifier"]) > 0
 
 
+def test_append_gt_proposals_training_path():
+    """Torchvision add_gt_proposals parity: with gt_boxes/gt_mask, the GT
+    boxes occupy the trailing proposal slots (padded GT slots keep the RPN
+    proposal), so the RoI classifier is guaranteed positive samples from
+    step 0 (torchvision roi_heads.select_training_samples; without this
+    the classifier collapses to background — found via the fixture sgdet
+    overfit, where every detection scored ~1/C uniform)."""
+    from sgg_tpu.models.detector import append_gt_proposals
+
+    rng = np.random.RandomState(3)
+    B, S = 2, 128
+    det = FasterRCNNVGG(num_classes=7, rpn_pre_nms_top_n=64,
+                        rpn_post_nms_top_n=32, detections_per_img=10,
+                        obj_dim=64, dtype=jnp.float32, score_thresh=0.01)
+    images = jnp.asarray(rng.rand(B, S, S, 3), jnp.float32)
+    im_hw = jnp.full((B, 2), float(S))
+    gt_boxes = jnp.asarray(rng.rand(B, 4, 4) * 60, jnp.float32)
+    gt_boxes = gt_boxes.at[..., 2:].set(gt_boxes[..., :2] + 20)
+    gt_mask = jnp.asarray([[True, True, True, False],
+                           [True, False, False, False]])
+    variables = det.init(jax.random.key(0), images, im_hw, train=False)
+    base = det.apply(variables, images, im_hw, train=False)
+    out = det.apply(variables, images, im_hw, train=False,
+                    gt_boxes=gt_boxes, gt_mask=gt_mask)
+
+    props = np.asarray(out["proposals"])
+    mask = np.asarray(out["prop_mask"])
+    gb, gm = np.asarray(gt_boxes), np.asarray(gt_mask)
+    # trailing slots hold the GT boxes where gt_mask, and are valid
+    for i in range(B):
+        for j in range(4):
+            slot = props.shape[1] - 4 + j
+            if gm[i, j]:
+                assert np.allclose(props[i, slot], gb[i, j]), (i, j)
+                assert mask[i, slot]
+            else:
+                # padded GT slot: the original RPN proposal survives
+                assert np.allclose(
+                    props[i, slot],
+                    np.asarray(base["proposals"])[i, slot]), (i, j)
+    # leading slots are untouched
+    assert np.allclose(props[:, :-4], np.asarray(base["proposals"])[:, :-4])
+    # the RoI losses on the spliced outputs now see IoU-1.0 positives:
+    # the classifier CE must differ from the no-GT run (positives sampled)
+    gt_classes = jnp.asarray(rng.randint(1, 7, (B, 4)))
+    hl = roi_head_losses(jax.random.key(2), out["proposals"],
+                         out["prop_mask"], out["class_logits"],
+                         out["box_deltas"], gt_boxes, gt_classes, gt_mask)
+    assert np.isfinite(float(hl["loss_classifier"]))
+    # direct helper check: an IoU-1.0 match exists for every real GT
+    from sgg_tpu.models.detector import assign_targets
+    for i in range(B):
+        labels, matched = assign_targets(out["proposals"][i], gt_boxes[i],
+                                         gt_mask[i], 0.5, 0.5,
+                                         allow_low_quality=False)
+        n_pos = int((np.asarray(labels) == 1)[np.asarray(mask[i])].sum())
+        assert n_pos >= int(gm[i].sum()), (i, n_pos)
+
+
 def test_generate_proposals_clip_and_shapes():
     rng = np.random.RandomState(3)
     K = 60

@@ -40,6 +40,7 @@ def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ab_orient"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_seeds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    device = sys.argv[4] if len(sys.argv) > 4 else "tpu"
     os.makedirs(out_dir, exist_ok=True)
 
     data_dir = os.path.join(out_dir, "data")
@@ -66,6 +67,7 @@ def main():
             _run(["main.py", "-m", "predcls", "-split", "stanford",
                   "-data", data_dir, "-val_size", "4", "-b", "4",
                   "-nepoch", str(epochs), "-p", "100", "-nwork", "1",
+                  "-device", device,
                   "-seed", str(seed), "-use_bias", "-save_dir", run,
                   "-feature_cache", cache] + extra, env)
             with open(os.path.join(run, "test_results.json")) as f:
